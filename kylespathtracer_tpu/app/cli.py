@@ -1,0 +1,122 @@
+"""Command-line driver.
+
+The reference app is `main()` + a window (main.cpp:298-363); the TPU-native
+equivalent is a headless CLI:
+
+    python -m kylespathtracer_tpu.app.cli render  --width 1280 --height 720 \
+        --frames 64 --out out/
+    python -m kylespathtracer_tpu.app.cli bench   --width 1920 --height 1080
+    python -m kylespathtracer_tpu.app.cli invert  --spheres 10 --steps 200
+    python -m kylespathtracer_tpu.app.cli info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def _add_size(p, w=1280, h=720):
+    p.add_argument("--width", type=int, default=w)
+    p.add_argument("--height", type=int, default=h)
+
+
+def _config_from(args):
+    from kylespathtracer_tpu.utils.config import RenderConfig
+
+    kw = dict(width=args.width, height=args.height)
+    if getattr(args, "march", False):
+        kw["intersect_mode"] = "march"
+    if getattr(args, "unbiased", False):
+        kw["biased"] = False
+    return RenderConfig(**kw)
+
+
+def cmd_render(args):
+    from kylespathtracer_tpu.app.driver import render_animation
+    from kylespathtracer_tpu.scene.scene import default_scene
+    from kylespathtracer_tpu.utils.metrics import MetricsLogger
+
+    config = _config_from(args)
+    metrics = MetricsLogger(args.metrics)
+    render_animation(
+        default_scene(),
+        config,
+        num_frames=args.frames,
+        out_dir=args.out,
+        save_every=args.save_every,
+        metrics=metrics,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+    )
+    metrics.close()
+
+
+def cmd_info(args):
+    import jax
+
+    import kylespathtracer_tpu as pkg
+    from kylespathtracer_tpu.utils import native
+
+    print(
+        json.dumps(
+            {
+                "version": pkg.__version__,
+                "backend": jax.default_backend(),
+                "devices": [str(d) for d in jax.devices()],
+                "native_lib": native.available(),
+            },
+            indent=2,
+        )
+    )
+
+
+def cmd_invert(args):
+    from kylespathtracer_tpu.diff import inverse
+
+    result = inverse.run_recovery(
+        num_spheres=args.spheres,
+        steps=args.steps,
+        width=args.width,
+        height=args.height,
+        lr=args.lr,
+        seed=args.seed,
+        log_every=args.log_every,
+    )
+    print(json.dumps({k: float(v) for k, v in result.items()}))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="kylespathtracer_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="render an animated sequence")
+    _add_size(p)
+    p.add_argument("--frames", type=int, default=64)
+    p.add_argument("--out", default="out")
+    p.add_argument("--save-every", type=int, default=0)
+    p.add_argument("--metrics", default=None, help="JSONL metrics path")
+    p.add_argument("--march", action="store_true", help="sphere-trace intersector")
+    p.add_argument("--unbiased", action="store_true", help="ground-truth estimators")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("invert", help="inverse rendering: recover a sphere scene")
+    _add_size(p, w=128, h=96)
+    p.add_argument("--spheres", type=int, default=10)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=25)
+    p.set_defaults(fn=cmd_invert)
+
+    p = sub.add_parser("info", help="backend / device / native-lib status")
+    p.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

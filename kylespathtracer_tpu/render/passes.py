@@ -1,0 +1,157 @@
+"""Diffuse and specular temporal-accumulation passes.
+
+Functional equivalents of diffuse.frag / specular.frag: reproject the
+previous accumulation onto the current hits, clamp the history window by
+camera velocity, add emission plus one MIS (or unbiased) sample, bump the
+sample count. Old state in, new state out — the reference's same-texture
+read/write feedback (main.cpp:95 vs :176) becomes honest double buffering.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax.numpy as jnp
+
+from kylespathtracer_tpu.core import gmath, sampler
+from kylespathtracer_tpu.render import mis as mis_mod
+from kylespathtracer_tpu.render import reproject as rep_mod
+from kylespathtracer_tpu.render.camera import Camera
+from kylespathtracer_tpu.render.gbuffer import GBuffer
+from kylespathtracer_tpu.scene import materials as mat_mod
+from kylespathtracer_tpu.scene import sdf as sdf_mod
+from kylespathtracer_tpu.scene.types import Scene
+from kylespathtracer_tpu.utils.config import RenderConfig
+
+
+@flax.struct.dataclass
+class Channel:
+    """One accumulation buffer (diffuse or specular): SoA for the reference's
+    RGBA texel with count+ID packed in alpha (common.glsl:629-635)."""
+
+    rgb: jnp.ndarray  # f32[H,W,3]
+    cnt: jnp.ndarray  # f32[H,W]
+    oid: jnp.ndarray  # i32[H,W] object ID at accumulation time
+
+    @classmethod
+    def zeros(cls, height: int, width: int, dtype=jnp.float32) -> "Channel":
+        return cls(
+            rgb=jnp.zeros((height, width, 3), dtype),
+            cnt=jnp.zeros((height, width), dtype),
+            oid=jnp.zeros((height, width), jnp.int32),
+        )
+
+
+def get_trace(config: RenderConfig):
+    """Pick the intersector: analytic (fast path) or sphere trace (parity)."""
+    if config.intersect_mode == "analytic":
+        from kylespathtracer_tpu.scene import intersect as isect
+
+        return lambda scene, ro, rd, excl: isect.intersect(scene, ro, rd, excl)
+    return lambda scene, ro, rd, excl: sdf_mod.march(
+        scene, ro, rd, excl, config.steps
+    )
+
+
+def _temporal_clamp(rep_rgb, rep_cnt, vv, config: RenderConfig):
+    """Velocity-adaptive history clamp (diffuse.frag:49-51).
+
+    lvv = min(T-1, int(T·2·sqrt(|vv|))); texels holding more than T-lvv
+    samples are rescaled down to exactly T-lvv.
+    """
+    T = float(config.temporal)
+    lvv = jnp.minimum(T - 1.0, jnp.floor(T * 2.0 * jnp.sqrt(vv)))
+    limit = T - lvv
+    over = rep_cnt > limit
+    scale = jnp.where(over, limit / jnp.maximum(rep_cnt, 1e-6), 1.0)
+    return rep_rgb * scale[..., None], jnp.where(over, limit, rep_cnt)
+
+
+def _shade_common(scene, config, gb: GBuffer, camera: Camera, frame):
+    hl = camera.loc + gb.ray_dir * gb.depth[..., None]
+    H, W = gb.obj_id.shape
+    px = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (H, W))
+    py = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None], (H, W))
+    seed = sampler.gen_seed(frame, px, py, W, H)
+    return hl, seed
+
+
+def diffuse_pass(
+    scene: Scene,
+    config: RenderConfig,
+    gb: GBuffer,
+    camera: Camera,
+    prev_camera: Camera,
+    prev: Channel,
+    frame: jnp.ndarray,
+) -> Channel:
+    """(reference: diffuse.frag:26-79)"""
+    trace = get_trace(config)
+    hl, seed = _shade_common(scene, config, gb, camera, frame)
+    ho = gb.obj_id
+    hn = gb.normal
+    vv = gmath.length(camera.loc - prev_camera.loc)
+
+    rep_rgb, rep_cnt = rep_mod.reproject(
+        prev_camera.loc, prev_camera.orient, hl, ho,
+        prev.rgb, prev.cnt, prev.oid, config.fov,
+    )
+    rep_cnt = jnp.floor(rep_cnt)  # fcol.a = floor(fcol.a), diffuse.frag:46
+    rep_rgb, rep_cnt = _temporal_clamp(rep_rgb, rep_cnt, vv, config)
+
+    _, emission, _ = mat_mod.surface(scene.materials, ho, hl)
+    rgb = rep_rgb + emission
+
+    if config.biased:
+        est = mis_mod.dmis(scene, trace, hl, hn, ho, seed, config)
+    else:
+        est = mis_mod.unbiased_lambertian(scene, trace, hl, hn, ho, seed, config)
+    # The reference only skips the light (diffuse.frag:59); we also skip
+    # misses, whose G-buffer normals the reference leaves NaN (common.glsl:625).
+    shade = (ho != scene.light_id) & (ho > 0)
+    rgb = rgb + jnp.where(shade[..., None], est, 0.0)
+
+    return Channel(rgb=rgb, cnt=rep_cnt + 1.0, oid=ho)
+
+
+def specular_pass(
+    scene: Scene,
+    config: RenderConfig,
+    gb: GBuffer,
+    camera: Camera,
+    prev_camera: Camera,
+    prev: Channel,
+    frame: jnp.ndarray,
+) -> Channel:
+    """(reference: specular.frag:26-83)"""
+    trace = get_trace(config)
+    hl, seed = _shade_common(scene, config, gb, camera, frame)
+    ho = gb.obj_id
+    hn = gb.normal
+    rd = gb.ray_dir
+    vv = gmath.length(camera.loc - prev_camera.loc)
+
+    # Reprojection anchor pushed toward the virtual image by surface
+    # curvature (specular.frag:45-49).
+    _, curv = sdf_mod.norcurv(scene, hl)
+    light_dist = gmath.length(hl - scene.light[:3])
+    fac = gmath.EPS / jnp.sqrt(jnp.maximum(gmath.EPS, curv))
+    sl = hl + rd * (light_dist * fac)[..., None]
+
+    rep_rgb, rep_cnt = rep_mod.reproject(
+        prev_camera.loc, prev_camera.orient, sl, ho,
+        prev.rgb, prev.cnt, prev.oid, config.fov,
+    )
+    rep_cnt = jnp.floor(rep_cnt)
+    rep_rgb, rep_cnt = _temporal_clamp(rep_rgb, rep_cnt, vv, config)
+
+    _, emission, _ = mat_mod.surface(scene.materials, ho, hl)
+    rgb = rep_rgb + emission
+
+    if config.biased:
+        est = mis_mod.smis(scene, trace, rd, hl, hn, ho, seed, config)
+    else:
+        est = mis_mod.unbiased_phong(scene, trace, rd, hl, hn, ho, seed, config)
+    shade = (ho != scene.light_id) & (ho > 0)
+    rgb = rgb + jnp.where(shade[..., None], est, 0.0)
+
+    return Channel(rgb=rgb, cnt=rep_cnt + 1.0, oid=ho)

@@ -1,0 +1,104 @@
+"""The frame pipeline: a pure function under jit.
+
+The reference's four GL draw calls per frame (main.cpp:344-350) become
+
+    render_frame(scene, camera, history, frame, config)
+        → (image, new_history)
+
+with all state (history buffers, previous camera) loop-carried in a pytree —
+no texture feedback, no pixel-smuggled camera (common.glsl:643-647).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.struct
+
+from kylespathtracer_tpu.render import composite as comp_mod
+from kylespathtracer_tpu.render import gbuffer as gb_mod
+from kylespathtracer_tpu.render.camera import Camera
+from kylespathtracer_tpu.render.passes import Channel, diffuse_pass, specular_pass
+from kylespathtracer_tpu.scene.types import Scene
+from kylespathtracer_tpu.utils.config import RenderConfig
+
+
+@flax.struct.dataclass
+class History:
+    diffuse: Channel
+    specular: Channel
+    camera: Camera  # the camera the buffers were rendered with
+
+    @classmethod
+    def zeros(cls, config: RenderConfig, camera: Camera) -> "History":
+        return cls(
+            diffuse=Channel.zeros(config.height, config.width),
+            specular=Channel.zeros(config.height, config.width),
+            camera=camera,
+        )
+
+
+def init_history(config: RenderConfig, camera: Camera | None = None) -> History:
+    return History.zeros(config, camera or Camera.create())
+
+
+def render_frame(
+    scene: Scene,
+    camera: Camera,
+    history: History,
+    frame: jnp.ndarray,
+    config: RenderConfig,
+) -> tuple[jnp.ndarray, History]:
+    """One full frame: geometry → diffuse → specular → composite.
+
+    (reference frame loop: main.cpp:344-350)
+    """
+    gb = gb_mod.geometry_pass(scene, camera, config)
+    d = diffuse_pass(scene, config, gb, camera, history.camera, history.diffuse, frame)
+    s = specular_pass(scene, config, gb, camera, history.camera, history.specular, frame)
+    image = comp_mod.composite(scene, config, gb, camera, d, s)
+    return image, History(diffuse=d, specular=s, camera=camera)
+
+
+def render_image(
+    scene: Scene,
+    camera: Camera,
+    config: RenderConfig,
+    frames: int = 1,
+    history: History | None = None,
+):
+    """Convenience: render `frames` frames with a static camera, return the
+    last image (temporal accumulation warms up over the sequence)."""
+    if history is None:
+        history = init_history(config, camera)
+
+    fn = jax.jit(render_frame, static_argnames=("config",))
+
+    image = None
+    for i in range(frames):
+        image, history = fn(scene, camera, history, jnp.asarray(i, jnp.int32), config)
+    return image, history
+
+
+def render_sequence(
+    scene: Scene,
+    cameras: Camera,  # stacked pytree: leaves have leading axis [T]
+    history: History,
+    config: RenderConfig,
+    start_frame: int = 0,
+):
+    """Scan over an animated camera path; returns (images[T,H,W,3], history).
+
+    The whole sequence compiles to a single XLA while-loop — the TPU analog
+    of the reference's 60 Hz main loop (main.cpp:328-357)."""
+
+    def step(hist, xs):
+        cam, idx = xs
+        img, hist = render_frame(scene, cam, hist, idx, config)
+        return hist, img
+
+    idxs = start_frame + jnp.arange(
+        jax.tree_util.tree_leaves(cameras)[0].shape[0], dtype=jnp.int32
+    )
+    history, images = jax.lax.scan(step, history, (cameras, idxs))
+    return images, history

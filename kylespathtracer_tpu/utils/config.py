@@ -1,0 +1,49 @@
+"""Render configuration.
+
+Maps 1:1 onto the reference's compile-time quality knobs
+(reference: common.glsl:1-29) plus TPU-specific execution options. Static
+(hashable) so a config instance can be a `jax.jit` static argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # Image.
+    width: int = 1280          # reference window size (main.cpp:302)
+    height: int = 720
+    # Quality knobs (reference: common.glsl:1-29).
+    biased: bool = True        # BIASED: MIS estimators vs unbiased ground truth
+    bounces: int = 1           # BOUNCES (unused by the reference's estimators)
+    steps: int = 255           # STEPS: max sphere-trace iterations
+    temporal: int = 16         # TEMPORALSMOOTHING: history frames
+    smp_direct_lambert: int = 1
+    smp_lambert_surface_lambert: int = 1
+    smp_lambert_surface_phong: int = 1
+    smp_direct_phong: int = 1
+    smp_phong_surface_lambert: int = 1
+    smp_phong_surface_phong: int = 1
+    smp_unbias: int = 4        # SMP_UNBIAS (unused by the reference)
+    bias_weight: float = 1.0   # BIAS_WEIGHT
+    gloss: float = 5.0         # Phong exponent (common.glsl:536 et al.)
+    brightness: float = 10.0   # exposure (passthrough.frag:27)
+    # Intersection strategy:
+    #   "march"    — sphere tracing, reference-faithful (common.glsl:283-295)
+    #   "analytic" — closed-form ray/plane + ray/sphere, bounded march for
+    #                rounded boxes; exact and much cheaper on TPU.
+    intersect_mode: str = "analytic"
+    # Camera (reference: common.glsl:33 FOV; main.cpp:302 window).
+    fov: float = 1.5
+    # Execution.
+    dtype: str = "float32"
+
+    @property
+    def resolution(self) -> tuple[int, int]:
+        return (self.width, self.height)
+
+    @property
+    def aspect(self) -> float:
+        return self.width / self.height

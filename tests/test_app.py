@@ -1,0 +1,116 @@
+"""App-layer tests: controller semantics, driver loop, image IO, checkpoint."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kylespathtracer_tpu.app.controller import (
+    ControllerState,
+    InputFrame,
+    update_controller,
+    ACCEL_SPEED,
+    MAX_SPEED,
+)
+from kylespathtracer_tpu.app.driver import render_animation, spline_cameras, playback_cameras
+from kylespathtracer_tpu.scene.scene import default_scene
+from kylespathtracer_tpu.utils.config import RenderConfig
+from kylespathtracer_tpu.core import gmath
+
+
+def test_controller_forward_motion():
+    """Holding W accelerates along the view direction; friction caps speed
+    (main.cpp:283-293)."""
+    st = ControllerState.create(loc=(0.0, 0.0, 0.0), orient=(0.0, 0.0))
+    inp = InputFrame.create(move=(0.0, 0.0, 1.0))
+    step = jax.jit(update_controller)
+    for _ in range(200):
+        st = step(st, inp)
+    # Terminal speed = accel / (1 - friction) = 0.01 / 0.1 = 0.1 < MAX_SPEED.
+    speed = float(jnp.linalg.norm(st.vel))
+    assert abs(speed - ACCEL_SPEED / 0.1) < 1e-3
+    assert float(st.loc[2]) > 10.0  # moved forward (+z at yaw 0)
+    assert abs(float(st.loc[0])) < 1e-4 and abs(float(st.loc[1])) < 1e-4
+
+
+def test_controller_dead_stop_and_speed_cap():
+    st = ControllerState.create(loc=(0.0, 0.0, 0.0), orient=(0.0, 0.0))
+    # One tap then release: velocity dies to exactly zero (dead stop).
+    st = update_controller(st, InputFrame.create(move=(0.0, 0.0, 1.0)))
+    idle = InputFrame.create()
+    for _ in range(60):
+        st = update_controller(st, idle)
+    assert float(jnp.linalg.norm(st.vel)) == 0.0
+    # Speed cap holds under extreme synthetic velocity.
+    st = st.replace(vel=jnp.asarray([9.0, 0.0, 0.0], jnp.float32))
+    st = update_controller(st, idle)
+    assert float(jnp.linalg.norm(st.vel)) <= MAX_SPEED + 1e-5
+
+
+def test_controller_mouse_look_clamp_wrap():
+    """Pitch clamps at ±HPI; yaw wraps into (−π, π] (main.cpp:250-256)."""
+    st = ControllerState.create(orient=(0.0, 0.0))
+    down = InputFrame.create(mouse_delta=(4000.0, -4000.0), mouse_down=True)
+    st = update_controller(st, down)  # first press: no look yet (mouseP gate)
+    orient0 = np.asarray(st.orient)
+    assert np.allclose(orient0, [0.0, 0.0])
+    st = update_controller(st, down)
+    assert abs(float(st.orient[0]) - gmath.HPI) < 1e-5  # pitch clamped
+    assert -gmath.PI <= float(st.orient[1]) <= gmath.PI  # yaw wrapped
+
+
+def test_playback_matches_stepwise():
+    T = 16
+    inputs = InputFrame(
+        move=jnp.tile(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (T, 1)),
+        mouse_delta=jnp.zeros((T, 2), jnp.float32),
+        mouse_down=jnp.zeros((T,), bool),
+    )
+    st = ControllerState.create()
+    cams = playback_cameras(st, inputs)
+    st2 = ControllerState.create()
+    for i in range(T):
+        st2 = update_controller(st2, jax.tree.map(lambda l: l[i], inputs))
+    np.testing.assert_allclose(np.asarray(cams.loc[-1]), np.asarray(st2.loc), rtol=1e-6)
+
+
+def test_render_animation_writes_images(tmp_path):
+    config = RenderConfig(width=32, height=24)
+    img, hist = render_animation(
+        default_scene(), config, num_frames=2, out_dir=tmp_path, save_every=1
+    )
+    assert img.shape == (24, 32, 3)
+    assert (tmp_path / "final.png").exists()
+    assert (tmp_path / "frame_00000.png").exists()
+
+
+def test_spline_cameras_loop():
+    cams = spline_cameras(8)
+    assert cams.loc.shape == (8, 3)
+    assert np.isfinite(np.asarray(cams.loc)).all()
+
+
+def test_image_io_roundtrip(tmp_path):
+    from kylespathtracer_tpu.utils import image_io
+
+    img = np.random.default_rng(0).random((16, 20, 3)).astype(np.float32)
+    p = tmp_path / "x.png"
+    image_io.save_png(p, img)
+    data = p.read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    image_io.save_ppm(tmp_path / "x.ppm", img)
+    assert (tmp_path / "x.ppm").read_bytes().startswith(b"P6\n20 16\n255\n")
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from kylespathtracer_tpu.utils import checkpoint as ck
+    from kylespathtracer_tpu.render.pipeline import init_history
+    from kylespathtracer_tpu.render.camera import Camera
+
+    h = init_history(RenderConfig(width=8, height=8), Camera.create())
+    ck.save(tmp_path, 7, {"history": h})
+    step, state = ck.restore(tmp_path, like={"history": h})
+    assert step == 7
+    assert state["history"].diffuse.rgb.shape == (8, 8, 3)
+    np.testing.assert_array_equal(
+        np.asarray(state["history"].camera.loc), np.asarray(h.camera.loc)
+    )
