@@ -8,6 +8,7 @@ batch shapes `(..., 3)` and is differentiable by construction.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Constants (reference: common.glsl:33-34).
@@ -104,6 +105,14 @@ def linear_angle(d: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     return jnp.arcsin(jnp.clip(r / jnp.maximum(d, 1e-12), EPS, IEPS))
 
 
+def tan_linear_angle(d: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """tan(linear_angle(d, r)) without the arcsin/tan round trip:
+    tan(asin(x)) = x/sqrt(1-x²). Two transcendentals become one rsqrt —
+    the cone samplers only ever need the tangent."""
+    x = jnp.clip(r / jnp.maximum(d, 1e-12), EPS, IEPS)
+    return x * jax.lax.rsqrt(1.0 - x * x)
+
+
 def solid_angle(d2: jnp.ndarray, r2: jnp.ndarray) -> jnp.ndarray:
     """Solid angle of a sphere given squared distance and squared radius.
 
@@ -125,9 +134,31 @@ def lambertian(hn: jnp.ndarray, nlv: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(EPS, dot(nlv, hn))
 
 
+def powi(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """x**n by squaring for static integer n — `pow` with a float exponent
+    lowers to exp/log on the VPU; integral exponents are a few multiplies."""
+    n = int(n)
+    acc = None
+    base = x
+    while n:
+        if n & 1:
+            acc = base if acc is None else acc * base
+        n >>= 1
+        if n:
+            base = base * base
+    return acc if acc is not None else jnp.ones_like(x)
+
+
+def pow_static(x: jnp.ndarray, e) -> jnp.ndarray:
+    """x**e, using the integer fast path when e is a static integral."""
+    if isinstance(e, (int, float)) and float(e).is_integer():
+        return powi(x, int(e))
+    return x ** e
+
+
 def phong(rd: jnp.ndarray, hn: jnp.ndarray, nlv: jnp.ndarray, gloss) -> jnp.ndarray:
     """Phong lobe max(eps, l.reflect(rd,n))^gloss (common.glsl:160-162)."""
-    return jnp.maximum(EPS, dot(nlv, reflect(rd, hn))) ** gloss
+    return pow_static(jnp.maximum(EPS, dot(nlv, reflect(rd, hn))), gloss)
 
 
 def mix(a, b, t):

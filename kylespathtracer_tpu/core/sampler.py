@@ -83,8 +83,7 @@ def uniform_cone_dir(lv: jnp.ndarray, lr: jnp.ndarray, seed: jnp.ndarray
     branchless ONB (reference: common.glsl:188-196).
     """
     rnd = weyl3(seed)
-    sa = gmath.linear_angle(gmath.length(lv), lr)
-    rad = jnp.sqrt(rnd[..., 0]) * jnp.tan(sa)
+    rad = jnp.sqrt(rnd[..., 0]) * gmath.tan_linear_angle(gmath.length(lv), lr)
     tha = rnd[..., 1] * gmath.TWOPI
     # Safe normalize: lv=0 (a sample toward the plane the shaded point lies
     # on — pdf-masked upstream) must yield a finite direction, not NaN.

@@ -24,6 +24,9 @@ class GBuffer:
     obj_id: jnp.ndarray  # i32[H,W]; 0 on miss
     depth: jnp.ndarray   # f32[H,W]: march t - eps (geometry.frag:71)
     ray_dir: jnp.ndarray  # f32[H,W,3] primary directions (recomputable; cached)
+    curv: jnp.ndarray    # f32[H,W] surface curvature at the hit — computed
+    #                      alongside the normal (norcurv); the reference
+    #                      recomputes it in the specular pass (specular.frag:46)
 
 
 def geometry_pass(scene: Scene, camera: cam_mod.Camera, config: RenderConfig
@@ -41,6 +44,6 @@ def geometry_pass(scene: Scene, camera: cam_mod.Camera, config: RenderConfig
         t, oid = sdf_mod.march(scene, ro, rd, -1, config.steps)
     hit = oid > 0
     hl = ro + rd * t[..., None]
-    n, _ = sdf_mod.norcurv(scene, hl)
+    n, c = sdf_mod.norcurv(scene, hl)
     n = jnp.where(hit[..., None], n, 0.0)
-    return GBuffer(normal=n, obj_id=oid, depth=t - gmath.EPS, ray_dir=rd)
+    return GBuffer(normal=n, obj_id=oid, depth=t - gmath.EPS, ray_dir=rd, curv=c)

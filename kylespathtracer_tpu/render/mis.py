@@ -124,18 +124,25 @@ def plane_contrib(scene: Scene, trace, dir_, pdfw, hl, ho, pl, po, seed,
 
 # ------------------------------------------------- strategies (G11)
 
-def _roulette_planes(scene: Scene, trace, pdf_fn, brdf_w, hl, ho, seed,
-                     energy_channel: int):
-    """Shared indirect block: all-plane PDFs → CDF → one-sample roulette.
+def plane_pdfs(scene: Scene, pdf_fn, hl, seed):
+    """Evaluate pdf_fn for every plane at once → (dirs[...,P,3], pdfs[...,P]).
 
-    pdf_fn(hl, li, planes, seed) must broadcast over the plane axis;
-    brdf_w(dirs) weights each strategy (Lambertian in DMIS, Phong in SMIS)
+    Shared between DMIS and SMIS in the fused path: the reference evaluates
+    these cone samples twice per frame with identical seeds
+    (common.glsl:456-472 in DMIS vs :551-567 in SMIS) — the samples are
+    bitwise the same, so compute them once.
+    """
+    hl_p = hl[..., None, :]                    # (..., 1, 3)
+    return pdf_fn(hl_p, scene.light, scene.planes, seed[..., None])
+
+
+def _roulette_from(scene: Scene, trace, dirs, pdfs, brdf_w, hl, ho, seed,
+                   energy_channel: int):
+    """Indirect block from precomputed per-plane samples: weight → CDF →
+    one-sample roulette → single contribution march
     (reference: common.glsl:453-519, 548-613).
     """
     planes = scene.planes                      # (P, 4)
-    li = scene.light
-    hl_p = hl[..., None, :]                    # (..., 1, 3)
-    dirs, pdfs = pdf_fn(hl_p, li, planes, seed[..., None])
     w = pdfs * brdf_w(dirs)                    # (..., P)
 
     cdf = jnp.cumsum(w, axis=-1)
@@ -157,6 +164,69 @@ def _roulette_planes(scene: Scene, trace, pdf_fn, brdf_w, hl, ho, seed,
         scene, trace, dir_sel, w_sel, hl, ho, pl_sel, po_sel, seed, energy_channel
     )
     return contrib * (total / jnp.maximum(gmath.EPS, w_sel))[..., None]
+
+
+def _roulette_planes(scene: Scene, trace, pdf_fn, brdf_w, hl, ho, seed,
+                     energy_channel: int):
+    """PDF evaluation + roulette in one call (the unfused estimators)."""
+    dirs, pdfs = plane_pdfs(scene, pdf_fn, hl, seed)
+    return _roulette_from(
+        scene, trace, dirs, pdfs, brdf_w, hl, ho, seed, energy_channel
+    )
+
+
+def dual_mis(scene: Scene, trace, rd, hl, hn, ho, seed, config):
+    """DMIS and SMIS fused → (diffuse_est, specular_est).
+
+    The reference runs the two estimators in separate fragment passes with
+    identical per-pixel seeds, so every cone sample and the direct-light
+    visibility march are computed twice (common.glsl:430-522 vs :525-616).
+    Here the per-plane PDF samples are evaluated once and the direct-light
+    march is shared; only the BRDF weightings, roulettes and the selected
+    plane marches differ. Requires all six SMP_* counts equal (the
+    reference's defaults are all 1; pipeline falls back to dmis+smis
+    otherwise).
+    """
+    smp = config.smp_direct_lambert
+    assert (
+        smp == config.smp_lambert_surface_lambert
+        == config.smp_lambert_surface_phong == config.smp_direct_phong
+        == config.smp_phong_surface_lambert == config.smp_phong_surface_phong
+    ), "dual_mis requires equal sample counts; use dmis/smis"
+
+    gloss = config.gloss
+    lam = lambda dirs: jnp.maximum(
+        gmath.EPS, jnp.sum(dirs * hn[..., None, :], axis=-1)
+    )
+    refl = gmath.reflect(rd, hn)[..., None, :]
+    pho = lambda dirs: gmath.pow_static(
+        jnp.maximum(gmath.EPS, jnp.sum(dirs * refl, axis=-1)), gloss
+    )
+
+    est_d = jnp.zeros(hl.shape, hl.dtype)
+    est_s = jnp.zeros(hl.shape, hl.dtype)
+    for i in range(smp):
+        si = sampler.fold_seed(seed, i)
+
+        # Direct light: one cone sample, one visibility march, two weights.
+        dl_dir, dl_pdf = sphere_light_pdf(hl, scene.light, si)
+        _, lm_id = trace(scene, hl, dl_dir, ho)
+        base = jnp.where(
+            (lm_id == scene.light_id)[..., None], scene.light_color, 0.0
+        )
+        est_d += base * (dl_pdf * gmath.lambertian(hn, dl_dir))[..., None]
+        est_s += base * (dl_pdf * gmath.phong(rd, hn, dl_dir, gloss))[..., None]
+
+        # Per-plane cone samples once; four roulettes (2 estimators × 2
+        # strategy families).
+        dirs_l, pdfs_l = plane_pdfs(scene, lambert_plane_pdf, hl, si)
+        dirs_p, pdfs_p = plane_pdfs(scene, phong_plane_pdf, hl, si)
+        est_d += _roulette_from(scene, trace, dirs_l, pdfs_l, lam, hl, ho, si, 0)
+        est_d += _roulette_from(scene, trace, dirs_p, pdfs_p, lam, hl, ho, si, 1)
+        est_s += _roulette_from(scene, trace, dirs_l, pdfs_l, pho, hl, ho, si, 0)
+        est_s += _roulette_from(scene, trace, dirs_p, pdfs_p, pho, hl, ho, si, 1)
+
+    return est_d / smp, est_s / smp
 
 
 def dmis(scene: Scene, trace, hl, hn, ho, seed, config):
@@ -201,9 +271,9 @@ def smis(scene: Scene, trace, rd, hl, hn, ho, seed, config):
     ret = jnp.zeros(hl.shape, hl.dtype)
     gloss = config.gloss
     refl = gmath.reflect(rd, hn)[..., None, :]
-    pho = lambda dirs: jnp.maximum(
-        gmath.EPS, jnp.sum(dirs * refl, axis=-1)
-    ) ** gloss
+    pho = lambda dirs: gmath.pow_static(
+        jnp.maximum(gmath.EPS, jnp.sum(dirs * refl, axis=-1)), gloss
+    )
 
     if config.smp_direct_phong:
         acc = 0.0

@@ -75,6 +75,76 @@ def _shade_common(scene, config, gb: GBuffer, camera: Camera, frame):
     return hl, seed
 
 
+def shade_passes(
+    scene: Scene,
+    config: RenderConfig,
+    gb: GBuffer,
+    camera: Camera,
+    prev_camera: Camera,
+    prev_d: Channel,
+    prev_s: Channel,
+    frame: jnp.ndarray,
+) -> tuple[Channel, Channel]:
+    """Diffuse + specular accumulation fused into one pass.
+
+    The reference renders them as two sequential fragment passes with
+    identical per-pixel seeds (main.cpp:346-348), recomputing every cone
+    sample, the direct-light march, the material fetch and the curvature.
+    Fused, the shared work runs once (mis.dual_mis); results are bitwise the
+    estimators of diffuse.frag:26-79 / specular.frag:26-83.
+
+    Falls back to the unfused passes when the per-strategy sample counts
+    differ (dual_mis requires them equal) or the unbiased estimators are on.
+    """
+    if not config.biased or not (
+        config.smp_direct_lambert
+        == config.smp_lambert_surface_lambert == config.smp_lambert_surface_phong
+        == config.smp_direct_phong
+        == config.smp_phong_surface_lambert == config.smp_phong_surface_phong
+    ):
+        d = diffuse_pass(scene, config, gb, camera, prev_camera, prev_d, frame)
+        s = specular_pass(scene, config, gb, camera, prev_camera, prev_s, frame)
+        return d, s
+
+    trace = get_trace(config)
+    hl, seed = _shade_common(scene, config, gb, camera, frame)
+    ho = gb.obj_id
+    hn = gb.normal
+    rd = gb.ray_dir
+    vv = gmath.length(camera.loc - prev_camera.loc)
+
+    # Diffuse reprojects at the hit point; specular pushes the anchor toward
+    # the virtual image by curvature (specular.frag:45-49; curvature comes
+    # from the G-buffer instead of a second norcurv).
+    light_dist = gmath.length(hl - scene.light[:3])
+    fac = gmath.EPS / jnp.sqrt(jnp.maximum(gmath.EPS, gb.curv))
+    sl = hl + rd * (light_dist * fac)[..., None]
+
+    rep_rgb_d, rep_cnt_d = rep_mod.reproject(
+        prev_camera.loc, prev_camera.orient, hl, ho,
+        prev_d.rgb, prev_d.cnt, prev_d.oid, config.fov,
+    )
+    rep_rgb_s, rep_cnt_s = rep_mod.reproject(
+        prev_camera.loc, prev_camera.orient, sl, ho,
+        prev_s.rgb, prev_s.cnt, prev_s.oid, config.fov,
+    )
+    rep_cnt_d = jnp.floor(rep_cnt_d)
+    rep_cnt_s = jnp.floor(rep_cnt_s)
+    rep_rgb_d, rep_cnt_d = _temporal_clamp(rep_rgb_d, rep_cnt_d, vv, config)
+    rep_rgb_s, rep_cnt_s = _temporal_clamp(rep_rgb_s, rep_cnt_s, vv, config)
+
+    _, emission, _ = mat_mod.surface(scene.materials, ho, hl)
+    est_d, est_s = mis_mod.dual_mis(scene, trace, rd, hl, hn, ho, seed, config)
+    shade = ((ho != scene.light_id) & (ho > 0))[..., None]
+
+    rgb_d = rep_rgb_d + emission + jnp.where(shade, est_d, 0.0)
+    rgb_s = rep_rgb_s + emission + jnp.where(shade, est_s, 0.0)
+    return (
+        Channel(rgb=rgb_d, cnt=rep_cnt_d + 1.0, oid=ho),
+        Channel(rgb=rgb_s, cnt=rep_cnt_s + 1.0, oid=ho),
+    )
+
+
 def diffuse_pass(
     scene: Scene,
     config: RenderConfig,

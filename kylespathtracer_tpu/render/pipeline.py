@@ -18,7 +18,7 @@ import flax.struct
 from kylespathtracer_tpu.render import composite as comp_mod
 from kylespathtracer_tpu.render import gbuffer as gb_mod
 from kylespathtracer_tpu.render.camera import Camera
-from kylespathtracer_tpu.render.passes import Channel, diffuse_pass, specular_pass
+from kylespathtracer_tpu.render.passes import Channel, shade_passes
 from kylespathtracer_tpu.scene.types import Scene
 from kylespathtracer_tpu.utils.config import RenderConfig
 
@@ -54,8 +54,10 @@ def render_frame(
     (reference frame loop: main.cpp:344-350)
     """
     gb = gb_mod.geometry_pass(scene, camera, config)
-    d = diffuse_pass(scene, config, gb, camera, history.camera, history.diffuse, frame)
-    s = specular_pass(scene, config, gb, camera, history.camera, history.specular, frame)
+    d, s = shade_passes(
+        scene, config, gb, camera, history.camera,
+        history.diffuse, history.specular, frame,
+    )
     image = comp_mod.composite(scene, config, gb, camera, d, s)
     return image, History(diffuse=d, specular=s, camera=camera)
 
