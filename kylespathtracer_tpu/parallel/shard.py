@@ -1,0 +1,229 @@
+"""Sharded rendering and training.
+
+Two complementary paths (SURVEY §2.3):
+
+* GSPMD path — place the history pytree with `NamedSharding` row shardings
+  (parallel.mesh) and jit the ordinary `render_frame`; XLA inserts the
+  cross-shard gathers for the reprojection taps and all-reduces scene
+  gradients. Zero code changes to the pipeline.
+
+* shard_map path — explicit per-device tiles with hand-placed collectives:
+  each device renders its row block; scene-parameter gradients are
+  `psum`-reduced over ICI inside the mapped function. This is the
+  production multi-host layout: the only cross-device traffic is the tiny
+  scene-grad psum and the reprojection halo, both riding ICI.
+
+The reprojection gather reads the *previous frame's* accumulation at
+arbitrary rows, so the shard_map forward keeps history replicated per host
+(all_gather'd once per frame) while everything else stays tiled — at
+1080p/f32 the history is ~50 MB, far under HBM, and the gather stays local.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kylespathtracer_tpu.parallel.mesh import DATA_AXIS, make_mesh, row_sharding, shard_image_pytree
+from kylespathtracer_tpu.render.camera import Camera
+from kylespathtracer_tpu.render.pipeline import History, init_history, render_frame
+from kylespathtracer_tpu.scene.types import Scene
+from kylespathtracer_tpu.utils.config import RenderConfig
+
+
+def jit_render_sharded(config: RenderConfig, mesh: Mesh):
+    """GSPMD path: jitted render_frame; sharding follows the input placement
+    (use `mesh.shard_image_pytree` on the history), XLA inserts the
+    reprojection cross-shard gathers."""
+    fn = jax.jit(render_frame, static_argnames=("config",))
+
+    def run(scene, camera, history, frame):
+        return fn(scene, camera, history, frame, config)
+
+    return run
+
+
+def render_frame_tiled(scene, camera, history, frame, config, mesh):
+    """shard_map: each device renders its block of image rows.
+
+    History enters row-sharded; the reprojection source buffers are
+    all-gathered (ICI) so each device's 2×2 taps are local reads, then each
+    device shades only its rows. Returns row-sharded (image, new history).
+    """
+    n = mesh.devices.size
+    assert config.height % n == 0, "height must divide the data axis"
+    rows_per = config.height // n
+
+    def tile_fn(scene, camera, hist_rows, frame):
+        # hist_rows: this device's rows of the previous accumulation.
+        idx = jax.lax.axis_index(DATA_AXIS)
+
+        # Reprojection sources need the full previous frame: all-gather the
+        # row blocks back into (H, W, ...) once per frame (ICI). Image leaves
+        # are ndim>=2; camera vectors stay replicated.
+        full_prev = jax.tree_util.tree_map(
+            lambda l: (
+                jax.lax.all_gather(l, DATA_AXIS, axis=0, tiled=True)
+                if l.ndim >= 2 and l.shape[0] == rows_per
+                else l
+            ),
+            hist_rows,
+        )
+
+        # Render only this device's rows: geometry + shading restricted to a
+        # row window. The camera ray grid depends on absolute pixel rows, so
+        # shift the NDC window by the device index.
+        img, new_hist = _render_row_block(
+            scene, camera, full_prev, frame, config, idx * rows_per, rows_per
+        )
+        return img, new_hist
+
+    hist_sharded = shard_image_pytree(history, mesh, config.height)
+    in_specs = (
+        P(),  # scene replicated
+        P(),  # camera replicated
+        jax.tree_util.tree_map(
+            lambda l: P(DATA_AXIS) if l.ndim >= 2 and l.shape[0] == config.height else P(),
+            hist_sharded,
+        ),
+        P(),  # frame
+    )
+    out_specs = (
+        P(DATA_AXIS),
+        jax.tree_util.tree_map(
+            lambda l: P(DATA_AXIS) if l.ndim >= 2 and l.shape[0] == config.height else P(),
+            history,
+        ),
+    )
+
+    mapped = jax.jit(
+        jax.shard_map(
+            tile_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        ),
+        static_argnums=(),
+    )
+    return mapped(scene, camera, hist_sharded, frame)
+
+
+def _render_row_block(scene, camera, full_prev_hist, frame, config, row0, rows):
+    """Render rows [row0, row0+rows) against a full-height previous history.
+
+    Reuses the pipeline pieces with a row-windowed ray grid; the reproject
+    gather indexes the full-height buffers (local after the all_gather).
+    """
+    from kylespathtracer_tpu.core import gmath, sampler
+    from kylespathtracer_tpu.render import composite as comp_mod
+    from kylespathtracer_tpu.render import gbuffer as gb_mod
+    from kylespathtracer_tpu.render import mis as mis_mod
+    from kylespathtracer_tpu.render import reproject as rep_mod
+    from kylespathtracer_tpu.render.camera import ray_dirs_window
+    from kylespathtracer_tpu.render.passes import Channel, _temporal_clamp, get_trace
+    from kylespathtracer_tpu.scene import materials as mat_mod
+    from kylespathtracer_tpu.scene import sdf as sdf_mod
+    from kylespathtracer_tpu.scene import intersect as isect
+
+    W, H = config.width, config.height
+    rd = ray_dirs_window(camera, W, H, row0, rows, config.fov)
+    ro = jnp.broadcast_to(camera.loc, rd.shape)
+    if config.intersect_mode == "analytic":
+        t, oid = isect.intersect(scene, ro, rd, -1, config.steps)
+    else:
+        t, oid = sdf_mod.march(scene, ro, rd, -1, config.steps)
+    hit = oid > 0
+    hl_full = ro + rd * t[..., None]
+    n, curv = sdf_mod.norcurv(scene, hl_full)
+    n = jnp.where(hit[..., None], n, 0.0)
+    gb = gb_mod.GBuffer(
+        normal=n, obj_id=oid, depth=t - gmath.EPS, ray_dir=rd, curv=curv
+    )
+
+    prev_cam = full_prev_hist.camera
+    hl = camera.loc + rd * gb.depth[..., None]
+    px = jnp.broadcast_to(
+        jnp.arange(W, dtype=jnp.int32)[None, :], (rows, W)
+    )
+    py = row0 + jnp.broadcast_to(
+        jnp.arange(rows, dtype=jnp.int32)[:, None], (rows, W)
+    )
+    seed = sampler.gen_seed(frame, px, py, W, H)
+    vv = gmath.length(camera.loc - prev_cam.loc)
+
+    light_dist = gmath.length(hl - scene.light[:3])
+    fac = gmath.EPS / jnp.sqrt(jnp.maximum(gmath.EPS, gb.curv))
+    sl = hl + rd * (light_dist * fac)[..., None]
+
+    pd, ps = full_prev_hist.diffuse, full_prev_hist.specular
+    rep_rgb_d, rep_cnt_d = rep_mod.reproject(
+        prev_cam.loc, prev_cam.orient, hl, oid, pd.rgb, pd.cnt, pd.oid,
+        config.fov, image_size=(H, W),
+    )
+    rep_rgb_s, rep_cnt_s = rep_mod.reproject(
+        prev_cam.loc, prev_cam.orient, sl, oid, ps.rgb, ps.cnt, ps.oid,
+        config.fov, image_size=(H, W),
+    )
+    rep_cnt_d = jnp.floor(rep_cnt_d)
+    rep_cnt_s = jnp.floor(rep_cnt_s)
+    rep_rgb_d, rep_cnt_d = _temporal_clamp(rep_rgb_d, rep_cnt_d, vv, config)
+    rep_rgb_s, rep_cnt_s = _temporal_clamp(rep_rgb_s, rep_cnt_s, vv, config)
+
+    trace = get_trace(config)
+    _, emission, _ = mat_mod.surface(scene.materials, oid, hl)
+    est_d, est_s = mis_mod.dual_mis(scene, trace, rd, hl, n, oid, seed, config)
+    shade = ((oid != scene.light_id) & (oid > 0))[..., None]
+
+    d = Channel(
+        rgb=rep_rgb_d + emission + jnp.where(shade, est_d, 0.0),
+        cnt=rep_cnt_d + 1.0, oid=oid,
+    )
+    s = Channel(
+        rgb=rep_rgb_s + emission + jnp.where(shade, est_s, 0.0),
+        cnt=rep_cnt_s + 1.0, oid=oid,
+    )
+    image = comp_mod.composite(scene, config, gb, camera, d, s)
+    return image, History(diffuse=d, specular=s, camera=camera)
+
+
+def train_step_tiled(params, opt_state, opt, scene, camera, target, frame,
+                     config, mesh):
+    """shard_map inverse-rendering step: per-device loss on its rows, scene
+    gradients psum-reduced over ICI, replicated Adam update."""
+    from kylespathtracer_tpu.diff import inverse
+
+    n = mesh.devices.size
+    rows_per = config.height // n
+
+    def loss_tile(params, scene, camera, target_rows, frame):
+        idx = jax.lax.axis_index(DATA_AXIS)
+        scene_p = inverse.apply_params(scene, params)
+        # Fresh (zero) full-height history: single-frame differentiable render
+        # of this device's rows only.
+        img, _ = _render_row_block(
+            scene_p, camera, init_history(config, camera),
+            frame, config, idx * rows_per, rows_per,
+        )
+        # Mean over *global* pixels: local sum, psum, divide by global count.
+        se = jnp.sum((img - target_rows) ** 2)
+        return jax.lax.psum(se, DATA_AXIS) / (config.height * config.width * 3)
+
+    def step(params, opt_state, scene, target, frame):
+        loss, grads = jax.value_and_grad(loss_tile)(
+            params, scene, camera, target, frame
+        )
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    in_specs = (P(), P(), P(), P(DATA_AXIS), P())
+    out_specs = (P(), P(), P())
+    mapped = jax.jit(
+        jax.shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                      check_vma=False)
+    )
+    return mapped(params, opt_state, scene, target, frame)

@@ -53,6 +53,22 @@ def ray_dirs(camera: Camera, width: int, height: int, fov: float = gmath.FOV
     return gmath.rotate_xy(gmath.normalize_fast(d), camera.orient)
 
 
+def ray_dirs_window(camera: Camera, width: int, height: int, row0: int,
+                    rows: int, fov: float = gmath.FOV) -> jnp.ndarray:
+    """Ray directions for image rows [row0, row0+rows) of a height-`height`
+    image — the per-device tile of the sharded renderer. Bitwise equal to
+    the matching rows of `ray_dirs`."""
+    asp = width / height
+    dtype = jnp.float32
+    x = (2.0 * (jnp.arange(width, dtype=dtype) + 0.5) / width - 1.0) * asp
+    y = 2.0 * (row0 + jnp.arange(rows, dtype=dtype) + 0.5) / height - 1.0
+    ndca = jnp.stack(jnp.meshgrid(x, y, indexing="xy"), axis=-1)
+    d = jnp.concatenate(
+        [ndca, jnp.full(ndca.shape[:-1] + (1,), fov, dtype)], axis=-1
+    )
+    return gmath.rotate_xy(gmath.normalize_fast(d), camera.orient)
+
+
 def camera_pose_spline(t: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """The reference's scripted camera path (geometry.frag:26-55, commented
     out upstream but kept as the benchmark camera): smoothstep between three

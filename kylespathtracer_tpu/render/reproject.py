@@ -23,9 +23,15 @@ def reproject(
     prev_cnt: jnp.ndarray,     # f32[H,W]
     prev_id: jnp.ndarray,      # i32[H,W]
     fov: float = gmath.FOV,
+    image_size: tuple[int, int] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """→ (rgb[H,W,3], cnt[H,W]) accumulated history carried to this frame."""
-    H, W = ho.shape
+    """→ (rgb[...,3], cnt[...]) accumulated history carried to this frame.
+
+    Query points (hl, ho) may cover only a row window of the image (sharded
+    tiles); the history buffers are always full-height, and `image_size`
+    (H, W) fixes the NDC→pixel mapping (defaults to the buffer shape).
+    """
+    H, W = image_size if image_size is not None else prev_cnt.shape
     asp = W / H
 
     # Previous camera basis (common.glsl:663-665).

@@ -123,3 +123,36 @@ def test_miss_pixels_black_and_finite():
     cam = cam_mod.Camera.create(loc=(0.0, 5.0, 0.0), orient=(0.0, -np.pi / 2))
     img, hist = render_image(SCENE, cam, CFG, frames=2)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_dual_mis_matches_unfused():
+    """shade_passes (fused dual_mis) must produce exactly the channels the
+    separate diffuse/specular passes produce — same seeds, same math."""
+    from kylespathtracer_tpu.render import gbuffer as gb_mod
+    from kylespathtracer_tpu.render.passes import (
+        diffuse_pass,
+        shade_passes,
+        specular_pass,
+    )
+    from kylespathtracer_tpu.render.pipeline import init_history
+
+    cfg = RenderConfig(width=48, height=32)
+    scene = default_scene()
+    cam = cam_mod.Camera.create(loc=(3.0, 2.0, -3.0), orient=(0.0, 0.7))
+    hist = init_history(cfg, cam)
+    frame = jnp.asarray(2, jnp.int32)
+
+    gb = gb_mod.geometry_pass(scene, cam, cfg)
+    d_ref = diffuse_pass(scene, cfg, gb, cam, hist.camera, hist.diffuse, frame)
+    s_ref = specular_pass(scene, cfg, gb, cam, hist.camera, hist.specular, frame)
+    d_fused, s_fused = shade_passes(
+        scene, cfg, gb, cam, hist.camera, hist.diffuse, hist.specular, frame
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(d_fused.rgb), np.asarray(d_ref.rgb), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_fused.rgb), np.asarray(s_ref.rgb), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(d_fused.oid), np.asarray(d_ref.oid))
