@@ -1,14 +1,19 @@
 """Benchmark: forward primary-ray throughput on the live device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference's implied ~55 Mrays/s primary throughput at
 1280x720@60fps on a desktop GPU (BASELINE.md; main.cpp:302,355).
+Supplementary metrics (fwd+bwd step, per-frame wall) go to stderr.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcomp")
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +25,7 @@ from kylespathtracer_tpu import (
     init_history,
     render_frame,
 )
+from kylespathtracer_tpu.utils.jitting import donate_history_kwargs
 
 BASELINE_RAYS_PER_S = 55.3e6  # 1280*720*60
 
@@ -31,15 +37,15 @@ def main():
     history = init_history(config, camera)
     frame0 = jnp.asarray(0, jnp.int32)
 
-    from kylespathtracer_tpu.utils.jitting import donate_history_kwargs
-
     fn = jax.jit(
         render_frame, static_argnames=("config",), **donate_history_kwargs()
     )
 
     # Warmup / compile.
+    t0 = time.perf_counter()
     image, history = fn(scene, camera, history, frame0, config)
     jax.block_until_ready(image)
+    print(f"compile+first frame: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     iters = 20
     t0 = time.perf_counter()
@@ -50,6 +56,7 @@ def main():
 
     rays = config.width * config.height  # primary rays per frame at 1 spp
     rays_per_s = rays / dt
+    print(f"frame: {dt*1e3:.1f} ms at {config.width}x{config.height}", file=sys.stderr)
     print(
         json.dumps(
             {

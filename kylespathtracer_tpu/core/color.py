@@ -82,6 +82,28 @@ _C = jnp.array(
 )
 
 
+def texture_good(tex: jnp.ndarray, x: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Smoothstep-weighted bilinear texel fetch with power-of-two wraparound
+    (reference: common.glsl:70-79; unused upstream, kept for parity).
+
+    tex: f32[S,S,C] with S = bits+1 a power of two; x: f32[...,2] continuous
+    texel coordinates.
+    """
+    p = jnp.floor(x).astype(jnp.int32)
+    f = x - p
+    f = f * f * (3.0 - 2.0 * f)
+
+    def fetch(dx, dy):
+        q = (p + jnp.asarray([dx, dy], jnp.int32)) & bits
+        return tex[q[..., 1], q[..., 0]]
+
+    fx = f[..., 0:1]
+    fy = f[..., 1:2]
+    top = fetch(0, 0) * (1 - fx) + fetch(1, 0) * fx
+    bot = fetch(0, 1) * (1 - fx) + fetch(1, 1) * fx
+    return top * (1 - fy) + bot * fy
+
+
 def spectrum(x: jnp.ndarray) -> jnp.ndarray:
     """Normalized wavelength (0=400nm..1=700nm) → RGB (common.glsl:86-108)."""
     l = x * 300.0 + 400.0

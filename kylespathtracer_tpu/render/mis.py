@@ -305,6 +305,24 @@ def smis(scene: Scene, trace, rd, hl, hn, ho, seed, config):
     return ret
 
 
+# ---------------------------------------------- one-bounce BRDF mutators
+
+def brdf_lambertian(hl, hn, seed):
+    """Next-bounce ray for a diffuse surface → (ro, rd): offset origin along
+    the normal, cosine-hemisphere direction (reference: common.glsl:418-421;
+    upstream defines but never calls these — kept for the multi-bounce
+    extension)."""
+    ro = hl + hn * gmath.EPS
+    return ro, sampler.cos_hemi_dir(hn, seed)
+
+
+def brdf_phong(rd, hl, hn):
+    """Next-bounce ray for a specular surface → (ro, rd): mirror reflection
+    (reference: common.glsl:424-427)."""
+    ro = hl + hn * gmath.EPS
+    return ro, gmath.reflect(rd, hn)
+
+
 # ------------------------------------------------- unbiased ground truth
 
 def unbiased_lambertian(scene: Scene, trace, hl, hn, ho, seed, config):

@@ -134,6 +134,22 @@ def shade_passes(
     rep_rgb_s, rep_cnt_s = _temporal_clamp(rep_rgb_s, rep_cnt_s, vv, config)
 
     _, emission, _ = mat_mod.surface(scene.materials, ho, hl)
+    if config.shade_backend == "pallas":
+        import jax
+
+        from kylespathtracer_tpu.ops import shade_kernel as sk
+
+        interpret = jax.default_backend() != "tpu"
+        est_d, est_s = sk.dual_mis_pallas(
+            scene, gb, camera, seed, config, interpret=interpret
+        )
+        # The kernel already applies the shade mask.
+        rgb_d = rep_rgb_d + emission + est_d
+        rgb_s = rep_rgb_s + emission + est_s
+        return (
+            Channel(rgb=rgb_d, cnt=rep_cnt_d + 1.0, oid=ho),
+            Channel(rgb=rgb_s, cnt=rep_cnt_s + 1.0, oid=ho),
+        )
     est_d, est_s = mis_mod.dual_mis(scene, trace, rd, hl, hn, ho, seed, config)
     shade = ((ho != scene.light_id) & (ho > 0))[..., None]
 

@@ -41,6 +41,18 @@ def sd_box(p: jnp.ndarray, half: jnp.ndarray) -> jnp.ndarray:
     return inside + outside
 
 
+def smin(a: jnp.ndarray, b: jnp.ndarray, k) -> jnp.ndarray:
+    """Polynomial smooth minimum (reference: common.glsl:206-209; unused by
+    the reference scene but part of its SDF toolkit)."""
+    h = jnp.maximum(k - jnp.abs(a - b), 0.0) / k
+    return jnp.minimum(a, b) - h * h * k * 0.25
+
+
+def smax(a: jnp.ndarray, b: jnp.ndarray, k) -> jnp.ndarray:
+    """Smooth maximum via smin (reference: common.glsl:211-213)."""
+    return -smin(-a, -b, k)
+
+
 def primitive_distances(scene: Scene, p: jnp.ndarray) -> jnp.ndarray:
     """Distances to every primitive; shape (..., 1+P+S+B).
 

@@ -35,6 +35,12 @@ class RenderConfig:
     #   "analytic" — closed-form ray/plane + ray/sphere, bounded march for
     #                rounded boxes; exact and much cheaper on TPU.
     intersect_mode: str = "analytic"
+    # Shading backend:
+    #   "xla"    — jnp pipeline (differentiable reference)
+    #   "pallas" — fused VMEM-resident shade kernel (forward-only; falls
+    #              back to interpret mode off-TPU). Gradients route through
+    #              the XLA path regardless.
+    shade_backend: str = "xla"
     # Camera (reference: common.glsl:33 FOV; main.cpp:302 window).
     fov: float = 1.5
     # Execution.
