@@ -75,23 +75,36 @@ def cos_hemi_dir(hn: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
     return gmath.normalize_fast(hn + rnd * gmath.IEPS)
 
 
-def uniform_cone_dir(lv: jnp.ndarray, lr: jnp.ndarray, seed: jnp.ndarray
-                     ) -> jnp.ndarray:
+def cone_pre(seed: jnp.ndarray):
+    """Hoisted per-seed cone-sampling draws (sqrt(u1), cos/sin(2π·u2), u3).
+
+    Every cone sample taken with the same seed draws the same weyl3 values
+    (the reference re-evaluates them in each strategy, common.glsl:437,459,
+    492…), so the transcendentals can be computed once and shared.
+    """
+    rnd = weyl3(seed)
+    tha = rnd[..., 1] * gmath.TWOPI
+    return (jnp.sqrt(rnd[..., 0]), jnp.cos(tha), jnp.sin(tha), rnd[..., 2])
+
+
+def uniform_cone_dir(lv: jnp.ndarray, lr: jnp.ndarray, seed: jnp.ndarray = None,
+                     pre=None) -> jnp.ndarray:
     """Uniform direction in the cone subtending a sphere of radius lr at lv.
 
     rad = sqrt(u1)*tan(linearAngle(|lv|, lr)), theta = u2*2pi, built on the
-    branchless ONB (reference: common.glsl:188-196).
+    branchless ONB (reference: common.glsl:188-196). Pass `pre` (from
+    `cone_pre`) to reuse the draws across samples with the same seed.
     """
-    rnd = weyl3(seed)
-    rad = jnp.sqrt(rnd[..., 0]) * gmath.tan_linear_angle(gmath.length(lv), lr)
-    tha = rnd[..., 1] * gmath.TWOPI
+    if pre is None:
+        pre = cone_pre(seed)
+    su1, ct, st, _ = pre
+    rad = su1 * gmath.tan_linear_angle(gmath.length(lv), lr)
     # Safe normalize: lv=0 (a sample toward the plane the shaded point lies
     # on — pdf-masked upstream) must yield a finite direction, not NaN.
     nlv = gmath.normalize(lv)
     r, u = gmath.basis(nlv)
     return gmath.normalize(
-        nlv
-        + rad[..., None] * (r * jnp.cos(tha)[..., None] + u * jnp.sin(tha)[..., None])
+        nlv + rad[..., None] * (r * ct[..., None] + u * st[..., None])
     )
 
 

@@ -510,9 +510,18 @@ def dual_mis_pallas(
     """Fused MIS estimators via the Pallas kernel → (est_d, est_s), each
     f32[H, W, 3]. Forward-only (use the XLA path for gradients)."""
     H, W = gb.obj_id.shape
-    if H % block_rows:
-        block_rows = H  # degenerate fallback: single block
-    grid = (H // block_rows,)
+    # Pad rows up to a block multiple; padded rows have obj_id 0 (miss) so
+    # the kernel's shade mask zeroes them and the slice below drops them.
+    Hp = -(-H // block_rows) * block_rows
+    pad = Hp - H
+
+    def pad_rows(a):
+        if pad == 0:
+            return a
+        widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+        return jnp.pad(a, widths)
+
+    grid = (Hp // block_rows,)
 
     counts = (
         int(scene.planes.shape[0]),
@@ -540,7 +549,7 @@ def dual_mis_pallas(
         grid=grid,
         in_specs=[small() for _ in range(18)] + [img() for _ in range(9)],
         out_specs=[img() for _ in range(6)],
-        out_shape=[jax.ShapeDtypeStruct((H, W), jnp.float32)] * 6,
+        out_shape=[jax.ShapeDtypeStruct((Hp, W), jnp.float32)] * 6,
         interpret=interpret,
     )(
         scene.planes, col(scene.plane_ids), scene.spheres,
@@ -549,11 +558,13 @@ def dual_mis_pallas(
         col(mats.s0), col(mats.s1), col(mats.freq), mats.alb_const,
         mats.alb_scale, mats.emission, mats.en_const, mats.en_scale,
         row(camera.loc),
-        gb.normal[..., 0], gb.normal[..., 1], gb.normal[..., 2],
-        gb.obj_id, gb.depth,
-        gb.ray_dir[..., 0], gb.ray_dir[..., 1], gb.ray_dir[..., 2],
-        seed,
+        pad_rows(gb.normal[..., 0]), pad_rows(gb.normal[..., 1]),
+        pad_rows(gb.normal[..., 2]),
+        pad_rows(gb.obj_id), pad_rows(gb.depth),
+        pad_rows(gb.ray_dir[..., 0]), pad_rows(gb.ray_dir[..., 1]),
+        pad_rows(gb.ray_dir[..., 2]),
+        pad_rows(seed),
     )
-    d = jnp.stack(outs[0:3], axis=-1)
-    s = jnp.stack(outs[3:6], axis=-1)
+    d = jnp.stack([o[:H] for o in outs[0:3]], axis=-1)
+    s = jnp.stack([o[:H] for o in outs[3:6]], axis=-1)
     return d, s

@@ -24,18 +24,18 @@ from kylespathtracer_tpu.scene.types import OBJ, Scene
 
 # ------------------------------------------------------------- PDFs (G9)
 
-def sphere_light_pdf(hl, li, seed):
+def sphere_light_pdf(hl, li, seed=None, pre=None):
     """Cone sample toward a sphere light → (dir[...,3], pdf[...]).
 
     (reference: common.glsl:300-305)
     """
     lv = li[:3] - hl
-    dir_ = sampler.uniform_cone_dir(lv, li[3], seed)
+    dir_ = sampler.uniform_cone_dir(lv, li[3], seed, pre=pre)
     pdf = gmath.solid_angle(gmath.dot(lv, lv), li[3] * li[3])
     return dir_, pdf
 
 
-def lambert_plane_pdf(hl, li, pl, seed):
+def lambert_plane_pdf(hl, li, pl, seed=None, pre=None):
     """Cone sample toward the light's projection disc on a diffuse plane.
 
     pl: (...,4) or (4,) plane (n, w). Returns (dir, pdf)
@@ -48,7 +48,7 @@ def lambert_plane_pdf(hl, li, pl, seed):
     dv = d - hl
     ld = li[:3] - d
     frad = jnp.minimum(gmath.length(dv), gmath.length(ld)) * 0.9
-    dir_ = sampler.uniform_cone_dir(dv, frad, seed)
+    dir_ = sampler.uniform_cone_dir(dv, frad, seed, pre=pre)
     lpdf = gmath.solid_angle(gmath.dot(dv, dv), frad * frad) / gmath.PI
     g2pdf = gmath.lambertian(n, -dir_)
     # Degenerate geometry (shaded point at the light's plane projection →
@@ -58,7 +58,7 @@ def lambert_plane_pdf(hl, li, pl, seed):
     return dir_, jnp.where(ok, lpdf * g2pdf, 0.0)
 
 
-def phong_plane_pdf(hl, li, pl, seed):
+def phong_plane_pdf(hl, li, pl, seed=None, pre=None):
     """Cone sample toward the light's mirror image in a glossy plane.
 
     (reference: common.glsl:325-343)
@@ -81,7 +81,7 @@ def phong_plane_pdf(hl, li, pl, seed):
     lsv = jnp.sqrt(gmath.dot(sv, sv)) * li[3]
     ls = li[:3] - s
     ts = sv * jnp.sqrt(gmath.dot(ls, ls))[..., None]
-    dir_ = sampler.uniform_cone_dir(ts, lsv, seed)
+    dir_ = sampler.uniform_cone_dir(ts, lsv, seed, pre=pre)
     lpdf = gmath.solid_angle(gmath.dot(ts, ts), lsv * lsv) / gmath.PI
     spdf = gmath.schlick(1.0, 3.0, gmath.dot(gmath.normalize(sv), n))
     # Degenerate geometry (shaded point on the sampled plane → sv≈0, only
@@ -104,7 +104,7 @@ def light_contribution(scene: Scene, trace, hl, ho, dir_, pdf):
 
 
 def plane_contrib(scene: Scene, trace, dir_, pdfw, hl, ho, pl, po, seed,
-                  energy_channel: int):
+                  energy_channel: int, pre=None):
     """March to a sampled plane, verify the hit, re-sample the light there.
 
     energy_channel 0 → LambertPlaneContrib (diffuse energy, common.glsl:356-371),
@@ -115,7 +115,7 @@ def plane_contrib(scene: Scene, trace, dir_, pdfw, hl, ho, pl, po, seed,
     n = pl[..., :3]
     hl2 = hl + dir_ * t[..., None] + n * gmath.EPS
     lv2 = scene.light[:3] - hl2
-    sample_dir = sampler.uniform_cone_dir(lv2, scene.light[3], seed)
+    sample_dir = sampler.uniform_cone_dir(lv2, scene.light[3], seed, pre=pre)
     lc = light_contribution(scene, trace, hl2, po, sample_dir, pdfw)
     albedo, emission, energy = mat_mod.surface(scene.materials, po, hl2)
     contrib = emission + energy[..., energy_channel:energy_channel + 1] * albedo * lc
@@ -124,7 +124,7 @@ def plane_contrib(scene: Scene, trace, dir_, pdfw, hl, ho, pl, po, seed,
 
 # ------------------------------------------------- strategies (G11)
 
-def plane_pdfs(scene: Scene, pdf_fn, hl, seed):
+def plane_pdfs(scene: Scene, pdf_fn, hl, seed=None, pre=None):
     """Evaluate pdf_fn for every plane at once → (dirs[...,P,3], pdfs[...,P]).
 
     Shared between DMIS and SMIS in the fused path: the reference evaluates
@@ -133,11 +133,14 @@ def plane_pdfs(scene: Scene, pdf_fn, hl, seed):
     bitwise the same, so compute them once.
     """
     hl_p = hl[..., None, :]                    # (..., 1, 3)
+    if pre is not None:
+        pre = tuple(c[..., None] for c in pre)
+        return pdf_fn(hl_p, scene.light, scene.planes, None, pre=pre)
     return pdf_fn(hl_p, scene.light, scene.planes, seed[..., None])
 
 
 def _roulette_from(scene: Scene, trace, dirs, pdfs, brdf_w, hl, ho, seed,
-                   energy_channel: int):
+                   energy_channel: int, pre=None):
     """Indirect block from precomputed per-plane samples: weight → CDF →
     one-sample roulette → single contribution march
     (reference: common.glsl:453-519, 548-613).
@@ -147,7 +150,7 @@ def _roulette_from(scene: Scene, trace, dirs, pdfs, brdf_w, hl, ho, seed,
 
     cdf = jnp.cumsum(w, axis=-1)
     total = cdf[..., -1]
-    rnd = sampler.weyl3(seed)[..., 2] * total
+    rnd = (pre[3] if pre is not None else sampler.weyl3(seed)[..., 2]) * total
     # idx = first k with rnd <= cdf_k; the last plane is the unconditional
     # else branch (common.glsl:475-482).
     idx = jnp.sum((rnd[..., None] > cdf[..., :-1]).astype(jnp.int32), axis=-1)
@@ -161,7 +164,8 @@ def _roulette_from(scene: Scene, trace, dirs, pdfs, brdf_w, hl, ho, seed,
     po_sel = scene.plane_ids[idx]
 
     contrib = plane_contrib(
-        scene, trace, dir_sel, w_sel, hl, ho, pl_sel, po_sel, seed, energy_channel
+        scene, trace, dir_sel, w_sel, hl, ho, pl_sel, po_sel, seed,
+        energy_channel, pre=pre,
     )
     return contrib * (total / jnp.maximum(gmath.EPS, w_sel))[..., None]
 
@@ -207,9 +211,10 @@ def dual_mis(scene: Scene, trace, rd, hl, hn, ho, seed, config):
     est_s = jnp.zeros(hl.shape, hl.dtype)
     for i in range(smp):
         si = sampler.fold_seed(seed, i)
+        pre = sampler.cone_pre(si)
 
         # Direct light: one cone sample, one visibility march, two weights.
-        dl_dir, dl_pdf = sphere_light_pdf(hl, scene.light, si)
+        dl_dir, dl_pdf = sphere_light_pdf(hl, scene.light, pre=pre)
         _, lm_id = trace(scene, hl, dl_dir, ho)
         base = jnp.where(
             (lm_id == scene.light_id)[..., None], scene.light_color, 0.0
@@ -219,12 +224,12 @@ def dual_mis(scene: Scene, trace, rd, hl, hn, ho, seed, config):
 
         # Per-plane cone samples once; four roulettes (2 estimators × 2
         # strategy families).
-        dirs_l, pdfs_l = plane_pdfs(scene, lambert_plane_pdf, hl, si)
-        dirs_p, pdfs_p = plane_pdfs(scene, phong_plane_pdf, hl, si)
-        est_d += _roulette_from(scene, trace, dirs_l, pdfs_l, lam, hl, ho, si, 0)
-        est_d += _roulette_from(scene, trace, dirs_p, pdfs_p, lam, hl, ho, si, 1)
-        est_s += _roulette_from(scene, trace, dirs_l, pdfs_l, pho, hl, ho, si, 0)
-        est_s += _roulette_from(scene, trace, dirs_p, pdfs_p, pho, hl, ho, si, 1)
+        dirs_l, pdfs_l = plane_pdfs(scene, lambert_plane_pdf, hl, pre=pre)
+        dirs_p, pdfs_p = plane_pdfs(scene, phong_plane_pdf, hl, pre=pre)
+        est_d += _roulette_from(scene, trace, dirs_l, pdfs_l, lam, hl, ho, si, 0, pre=pre)
+        est_d += _roulette_from(scene, trace, dirs_p, pdfs_p, lam, hl, ho, si, 1, pre=pre)
+        est_s += _roulette_from(scene, trace, dirs_l, pdfs_l, pho, hl, ho, si, 0, pre=pre)
+        est_s += _roulette_from(scene, trace, dirs_p, pdfs_p, pho, hl, ho, si, 1, pre=pre)
 
     return est_d / smp, est_s / smp
 
