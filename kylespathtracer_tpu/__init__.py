@@ -30,6 +30,9 @@ from kylespathtracer_tpu.render.pipeline import (
     render_frame,
     render_image,
 )
+from kylespathtracer_tpu.render.wavefront import pathtrace, render_pathtraced
+from kylespathtracer_tpu.scene.scene import sphere_scene
+from kylespathtracer_tpu.scene.types import BSDF
 
 __version__ = "0.1.0"
 
@@ -42,4 +45,8 @@ __all__ = [
     "init_history",
     "render_frame",
     "render_image",
+    "pathtrace",
+    "render_pathtraced",
+    "sphere_scene",
+    "BSDF",
 ]

@@ -52,6 +52,37 @@ def cmd_render(args):
     metrics.close()
 
 
+def cmd_pathtrace(args):
+    """Multi-bounce wavefront render (BASELINE config #3)."""
+    import time
+
+    import jax
+
+    from kylespathtracer_tpu.render.camera import Camera
+    from kylespathtracer_tpu.render import wavefront
+    from kylespathtracer_tpu.scene.scene import default_scene
+    from kylespathtracer_tpu.utils.config import RenderConfig
+    from kylespathtracer_tpu.utils import image_io
+
+    config = RenderConfig(
+        width=args.width, height=args.height,
+        max_depth=args.depth, spp=args.spp,
+    )
+    camera = Camera.create(loc=(3.0, 2.0, -3.0), orient=(0.0, 0.7))
+    fn = jax.jit(wavefront.render_pathtraced, static_argnames=("config",))
+    t0 = time.perf_counter()
+    img = fn(default_scene(), camera, config, 0)
+    img.block_until_ready()
+    dt = time.perf_counter() - t0
+    rays = args.width * args.height * args.spp * args.depth
+    print(json.dumps({
+        "wall_s": dt, "depth": args.depth, "spp": args.spp,
+        "path_segments": rays,
+    }))
+    if args.out:
+        image_io.save_png(args.out, img)
+
+
 def cmd_info(args):
     import jax
 
@@ -101,6 +132,13 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("pathtrace", help="multi-bounce wavefront render")
+    _add_size(p)
+    p.add_argument("--depth", type=int, default=6)
+    p.add_argument("--spp", type=int, default=4)
+    p.add_argument("--out", default=None, help="output PNG path")
+    p.set_defaults(fn=cmd_pathtrace)
 
     p = sub.add_parser("invert", help="inverse rendering: recover a sphere scene")
     _add_size(p, w=128, h=96)

@@ -116,3 +116,55 @@ def fold_seed(seed: jnp.ndarray, i) -> jnp.ndarray:
     instead when quality matters more than parity.
     """
     return seed + jnp.asarray(i, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# PCG-hashed R2 low-discrepancy sampler — the upgrade path beyond the
+# reference's Weyl sequence, used by the multi-bounce wavefront integrator
+# (BASELINE config #3). The 2D R2 sequence (generalized golden ratio) gives
+# near-optimal stratification per dimension pair; a per-(pixel, dim-pair)
+# Cranley–Patterson rotation derived from a PCG hash decorrelates pixels and
+# dimensions. All arithmetic is exact uint32 fixed point, so the sequence
+# never loses stratification to float rounding at high sample counts.
+# ---------------------------------------------------------------------------
+
+# round(2^32 / phi2^k) for the plastic constant phi2 ≈ 1.3247179572:
+# alpha = (1/phi2, 1/phi2^2) ≈ (0.75487767, 0.56984029).
+_R2_A1 = 3242174889  # round(0.7548776662466927 * 2^32)
+_R2_A2 = 2447445413  # round(0.5698402909980532 * 2^32)
+_INV_2_32 = 2.3283064365386963e-10  # 2^-32
+
+
+def pcg_hash(x: jnp.ndarray) -> jnp.ndarray:
+    """PCG-RXS-M-XS output permutation over a 32-bit LCG state — the standard
+    one-word PCG hash. uint32 → uint32, bijective, well-distributed."""
+    x = x.astype(jnp.uint32)
+    state = x * jnp.uint32(747796405) + jnp.uint32(2891336453)
+    shift = (state >> jnp.uint32(28)) + jnp.uint32(4)
+    word = ((state >> shift) ^ state) * jnp.uint32(277803737)
+    return (word >> jnp.uint32(22)) ^ word
+
+
+def r2_pair(n: jnp.ndarray, stream: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The n-th point of the 2D R2 sequence, PCG-rotated per stream.
+
+    n:      uint32/int32[...] sample index (frame*spp + s).
+    stream: uint32/int32[...] stream id — hash of (pixel, dimension-pair).
+    Returns two float32 uniforms in [0, 1), stratified jointly in 2D within
+    each stream and decorrelated across streams.
+    """
+    n = n.astype(jnp.uint32)
+    rot1 = pcg_hash(stream)
+    rot2 = pcg_hash(rot1 ^ jnp.uint32(0x9E3779B9))
+    u1 = (n * jnp.uint32(_R2_A1) + rot1).astype(jnp.float32) * _INV_2_32
+    u2 = (n * jnp.uint32(_R2_A2) + rot2).astype(jnp.float32) * _INV_2_32
+    return u1, u2
+
+
+def pixel_stream(px: jnp.ndarray, py: jnp.ndarray, width, pair: jnp.ndarray
+                 ) -> jnp.ndarray:
+    """Stream id for (pixel, dimension-pair): hash-mix of the linear pixel
+    index and the pair index. pair may be a traced scalar (bounce-dependent
+    dims inside lax.scan are fine)."""
+    pid = (py.astype(jnp.uint32) * jnp.uint32(width) + px.astype(jnp.uint32))
+    return pid * jnp.uint32(0x85EBCA6B) + jnp.asarray(pair, jnp.uint32)

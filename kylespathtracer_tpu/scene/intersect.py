@@ -36,7 +36,12 @@ def _plane_hits(scene: Scene, ro, rd):
 
 
 def _sphere_hits(scene: Scene, ro, rd):
-    """Nearest positive root from outside each sphere; (..., S)."""
+    """Nearest positive root of each sphere; (..., S).
+
+    From outside this is the near root (reference march semantics); from
+    inside (a dielectric ray refracted into the sphere) the near root is
+    negative and the far root — the exit point — is returned instead.
+    """
     c = scene.spheres[:, :3]
     r = scene.spheres[:, 3]
     oc = ro[..., None, :] - c
@@ -44,7 +49,8 @@ def _sphere_hits(scene: Scene, ro, rd):
     c2 = jnp.sum(oc * oc, axis=-1) - r * r
     disc = b * b - c2
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t = -b - sq
+    t_near = -b - sq
+    t = jnp.where(t_near > 0, t_near, -b + sq)
     valid = (disc > 0) & (t > 0)
     return jnp.where(valid, t, _INF)
 

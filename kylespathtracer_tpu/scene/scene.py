@@ -13,7 +13,7 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-from kylespathtracer_tpu.scene.types import OBJ, Materials, Scene
+from kylespathtracer_tpu.scene.types import BSDF, OBJ, Materials, Scene
 
 
 def _plane_tint(obj_id: int) -> tuple[float, float, float]:
@@ -67,6 +67,7 @@ def default_materials(light_color=(10.0, 10.0, 10.0)) -> Materials:
         alb_const=jnp.asarray(alb_const), alb_scale=jnp.asarray(alb_scale),
         emission=jnp.asarray(emission), en_const=jnp.asarray(en_const),
         en_scale=jnp.asarray(en_scale),
+        bsdf=jnp.zeros(K, jnp.int32), ior=jnp.full(K, 1.5, jnp.float32),
     )
 
 
@@ -108,12 +109,18 @@ def sphere_scene(
     with_floor: bool = True,
     diffuse_energy: float = 0.7,
     specular_energy: float = 0.35,
+    kinds=None,
+    iors=None,
 ) -> Scene:
-    """N diffuse spheres (+ floor plane + sphere light): the BASELINE scenes.
+    """N spheres (+ floor plane + sphere light): the BASELINE scenes.
 
     Sphere i gets object ID 3+i with constant albedo `albedos[i]`; the floor
     uses the reference's FLOOR material, the light the reference's LIGHT
     material. All geometry and albedo entries are differentiable leaves.
+
+    kinds: optional per-sphere BSDF kinds (scene.types.BSDF.*; default all
+    DIFFUSE) and iors: per-sphere refraction indices, for the multi-bounce
+    wavefront integrator (BASELINE config #3).
     """
     centers = np.asarray(centers, np.float32).reshape(-1, 3)
     radii = np.asarray(radii, np.float32).reshape(-1)
@@ -140,17 +147,24 @@ def sphere_scene(
     alb_scale[OBJ.FLOOR] = _plane_tint(OBJ.FLOOR)
     en_scale[OBJ.FLOOR] = (0.7, 0.35)
 
+    bsdf_col = np.zeros(K, np.int32)
+    ior_col = np.full(K, 1.5, np.float32)
     for i in range(n):
         oid = 3 + i
         s0[oid] = 1.0
         alb_const[oid] = albedos[i]
         en_const[oid] = (diffuse_energy, specular_energy)
+        if kinds is not None:
+            bsdf_col[oid] = int(kinds[i])
+        if iors is not None:
+            ior_col[oid] = float(iors[i])
 
     materials = Materials(
         s0=jnp.asarray(s0), s1=jnp.asarray(s1), freq=jnp.asarray(freq),
         alb_const=jnp.asarray(alb_const), alb_scale=jnp.asarray(alb_scale),
         emission=jnp.asarray(emission), en_const=jnp.asarray(en_const),
         en_scale=jnp.asarray(en_scale),
+        bsdf=jnp.asarray(bsdf_col), ior=jnp.asarray(ior_col),
     )
 
     if with_floor:

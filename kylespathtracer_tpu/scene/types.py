@@ -56,10 +56,37 @@ class Materials:
     emission: jnp.ndarray   # f32[K,3]
     en_const: jnp.ndarray   # f32[K,2]
     en_scale: jnp.ndarray   # f32[K,2]
+    # BSDF lobe selector for the multi-bounce wavefront integrator (BASELINE
+    # config #3); the reference's estimators always shade both a Lambertian
+    # and a Phong response (common.glsl:430-616), which maps to DIFFUSE /
+    # GLOSSY here. None → all-diffuse (filled by `bsdf_table`).
+    bsdf: jnp.ndarray | None = None  # i32[K] in BSDF.{DIFFUSE,GLOSSY,MIRROR,DIELECTRIC}
+    ior: jnp.ndarray | None = None   # f32[K] refraction index (DIELECTRIC only)
 
     @property
     def num_ids(self) -> int:
         return self.s0.shape[0]
+
+
+class BSDF:
+    """BSDF lobe kinds for `Materials.bsdf`."""
+
+    DIFFUSE = 0     # Lambertian, cosine-sampled
+    GLOSSY = 1      # normalized Phong around the mirror direction
+    MIRROR = 2      # perfect specular reflection (delta)
+    DIELECTRIC = 3  # Fresnel-weighted reflect/refract glass (delta)
+
+
+def bsdf_table(materials: Materials) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(bsdf[K] i32, ior[K] f32) with all-diffuse / ior-1.5 defaults."""
+    k = materials.num_ids
+    b = materials.bsdf
+    if b is None:
+        b = jnp.zeros((k,), jnp.int32)
+    i = materials.ior
+    if i is None:
+        i = jnp.full((k,), 1.5, jnp.float32)
+    return b, i
 
 
 @flax.struct.dataclass

@@ -28,6 +28,10 @@ class RenderConfig:
     smp_phong_surface_phong: int = 1
     smp_unbias: int = 4        # SMP_UNBIAS (unused by the reference)
     bias_weight: float = 1.0   # BIAS_WEIGHT
+    # Wavefront multi-bounce integrator (BASELINE config #3; the reference
+    # defines BOUNCES but never loops, common.glsl:6).
+    max_depth: int = 6         # path length for render.wavefront
+    spp: int = 1               # samples/pixel/frame for render.wavefront
     gloss: float = 5.0         # Phong exponent (common.glsl:536 et al.)
     brightness: float = 10.0   # exposure (passthrough.frag:27)
     # Intersection strategy:
