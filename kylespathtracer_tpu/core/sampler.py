@@ -156,8 +156,15 @@ def r2_pair(n: jnp.ndarray, stream: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarr
     n = n.astype(jnp.uint32)
     rot1 = pcg_hash(stream)
     rot2 = pcg_hash(rot1 ^ jnp.uint32(0x9E3779B9))
-    u1 = (n * jnp.uint32(_R2_A1) + rot1).astype(jnp.float32) * _INV_2_32
-    u2 = (n * jnp.uint32(_R2_A2) + rot2).astype(jnp.float32) * _INV_2_32
+    # Drop the low 8 bits before converting: a straight uint32→float32 cast
+    # rounds to a 24-bit mantissa, so lattice values within ~128 of 2^32
+    # round up to exactly 2^32 and u would hit 1.0, violating [0, 1).
+    u1 = ((n * jnp.uint32(_R2_A1) + rot1) >> jnp.uint32(8)).astype(
+        jnp.float32
+    ) * jnp.float32(2**-24)
+    u2 = ((n * jnp.uint32(_R2_A2) + rot2) >> jnp.uint32(8)).astype(
+        jnp.float32
+    ) * jnp.float32(2**-24)
     return u1, u2
 
 

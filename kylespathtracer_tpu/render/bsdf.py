@@ -44,11 +44,14 @@ def eval_pdf(kind, rho_d, rho_s, n, wo, wi, gloss):
     f_d = rho_d * (_INV_PI * ci)[..., None]
     pdf_d = ci * _INV_PI
 
-    # GLOSSY: normalized Phong around the mirror direction.
+    # GLOSSY: normalized Phong around the mirror direction. f·cos carries the
+    # full cosθi factor so NEE agrees with sample()'s weight·pdf
+    # (= rho_s·(g+2)/2π·cosᵍα·cosθi); a sign() here would overestimate
+    # grazing-angle NEE by 1/cosθi.
     refl = gmath.reflect(-wo, n)
     ca = jnp.maximum(0.0, gmath.dot(refl, wi))
     ca_g = gmath.pow_static(ca, gloss)
-    f_g = rho_s * ((gloss + 2.0) / gmath.TWOPI * ca_g * jnp.sign(ci))[..., None]
+    f_g = rho_s * ((gloss + 2.0) / gmath.TWOPI * ca_g * ci)[..., None]
     pdf_g = (gloss + 1.0) / gmath.TWOPI * ca_g
 
     is_g = kind == BSDF.GLOSSY

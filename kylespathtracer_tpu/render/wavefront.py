@@ -112,6 +112,7 @@ def trace_sample(scene: Scene, ro, rd, px, py, config: RenderConfig,
         excl=jnp.full(batch, -1, jnp.int32),
         prev_pdf=jnp.zeros(batch, ro.dtype),
         prev_delta=jnp.ones(batch, bool),  # bounce 0: camera "delta"
+        prev_nee=jnp.zeros(batch, bool),   # did NEE run at the last vertex?
         inside=jnp.zeros(batch, bool),
     )
 
@@ -123,7 +124,8 @@ def trace_sample(scene: Scene, ro, rd, px, py, config: RenderConfig,
 
     def bounce_body(state, bounce):
         ro, rd = state["ro"], state["rd"]
-        t, oid = isect_mod.intersect(scene, ro, rd, state["excl"])
+        t, oid = isect_mod.intersect(scene, ro, rd, state["excl"],
+                                     inside_hits=True)
         hit = (oid != 0) & state["alive"]
         hl = ro + rd * t[..., None]
 
@@ -139,11 +141,15 @@ def trace_sample(scene: Scene, ro, rd, px, py, config: RenderConfig,
         rho_d = albedo * energy[..., 0:1]
         rho_s = albedo * energy[..., 1:2]
 
-        # ---- emitted radiance, MIS-weighted against the previous NEE.
+        # ---- emitted radiance, MIS-weighted against the previous NEE. The
+        # balance weight only applies when NEE actually ran at the previous
+        # vertex (prev_nee) and that lobe was non-delta — otherwise the NEE
+        # strategy could not have produced this light hit and down-weighting
+        # would darken those paths.
         is_light = oid == light_id
         pdf_nee_prev = _nee_pdf_toward_light(scene, ro)
         w_mis = jnp.where(
-            state["prev_delta"] | ~is_light,
+            state["prev_delta"] | ~state["prev_nee"] | ~is_light,
             1.0,
             state["prev_pdf"] / jnp.maximum(1e-12, state["prev_pdf"] + pdf_nee_prev),
         )
@@ -178,10 +184,13 @@ def trace_sample(scene: Scene, ro, rd, px, py, config: RenderConfig,
         alive = hit & (jnp.max(new_tp, axis=-1) > 1e-5)
 
         new_ro = hl + jnp.where(transmit[..., None], -n, n) * gmath.EPS
-        # Convex primitives: a reflected ray cannot re-hit its own object, so
-        # self-exclusion is safe; a transmitted ray must re-hit it (the far
-        # side of the glass), so exclusion is lifted.
-        new_excl = jnp.where(transmit, -1, oid)
+        # Convex primitives: a reflected ray *outside* its object cannot
+        # re-hit it, so self-exclusion is safe there. Whenever the
+        # continuation ray travels inside the object — a transmitted ray
+        # (must hit the far side of the glass) or an internally reflected
+        # one (TIR / Fresnel reflection at the exit interface, which must
+        # re-hit the same surface from inside) — exclusion is lifted.
+        new_excl = jnp.where(transmit | state["inside"], -1, oid)
 
         new_state = dict(
             ro=new_ro,
@@ -192,6 +201,7 @@ def trace_sample(scene: Scene, ro, rd, px, py, config: RenderConfig,
             excl=new_excl,
             prev_pdf=pdf,
             prev_delta=is_delta,
+            prev_nee=hit & l_ok & ~is_light,
             inside=jnp.where(transmit, ~state["inside"], state["inside"]),
         )
         return new_state, None

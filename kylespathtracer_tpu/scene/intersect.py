@@ -35,12 +35,15 @@ def _plane_hits(scene: Scene, ro, rd):
     return jnp.where(valid, t, _INF)
 
 
-def _sphere_hits(scene: Scene, ro, rd):
+def _sphere_hits(scene: Scene, ro, rd, inside_hits: bool):
     """Nearest positive root of each sphere; (..., S).
 
-    From outside this is the near root (reference march semantics); from
-    inside (a dielectric ray refracted into the sphere) the near root is
-    negative and the far root — the exit point — is returned instead.
+    From outside this is the near root (reference march semantics). With
+    `inside_hits` (the wavefront integrator's dielectric rays), a ray
+    starting *inside* a sphere returns the far root — the exit point —
+    instead of missing. The reference's signed-distance march would
+    terminate at t≈0 for such rays, so the default keeps march parity and
+    only render/wavefront opts in.
     """
     c = scene.spheres[:, :3]
     r = scene.spheres[:, 3]
@@ -50,7 +53,7 @@ def _sphere_hits(scene: Scene, ro, rd):
     disc = b * b - c2
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     t_near = -b - sq
-    t = jnp.where(t_near > 0, t_near, -b + sq)
+    t = jnp.where(t_near > 0, t_near, -b + sq) if inside_hits else t_near
     valid = (disc > 0) & (t > 0)
     return jnp.where(valid, t, _INF)
 
@@ -137,14 +140,14 @@ def _box_hits(scene: Scene, ro, rd):
     return best
 
 
-def _intersect_fwd_impl(scene: Scene, ro, rd, excl):
+def _intersect_fwd_impl(scene: Scene, ro, rd, excl, inside_hits: bool = False):
     parts = [jnp.full(ro.shape[:-1] + (1,), _INF, ro.dtype)]
     ids = [jnp.zeros((1,), jnp.int32)]
     if scene.planes.shape[0]:
         parts.append(_plane_hits(scene, ro, rd))
         ids.append(scene.plane_ids)
     if scene.spheres.shape[0]:
-        parts.append(_sphere_hits(scene, ro, rd))
+        parts.append(_sphere_hits(scene, ro, rd, inside_hits))
         ids.append(scene.sphere_ids)
     if scene.boxes.shape[0]:
         parts.append(_box_hits(scene, ro, rd))
@@ -170,30 +173,35 @@ def _intersect_fwd_impl(scene: Scene, ro, rd, excl):
     return t, oid
 
 
-@jax.custom_vjp
-def _intersect_cvjp(scene, ro, rd, excl):
-    return _intersect_fwd_impl(scene, ro, rd, excl)
+from functools import partial as _partial
 
 
-def _intersect_cvjp_fwd(scene, ro, rd, excl):
-    t, hid = _intersect_fwd_impl(scene, ro, rd, excl)
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _intersect_cvjp(inside_hits, scene, ro, rd, excl):
+    return _intersect_fwd_impl(scene, ro, rd, excl, inside_hits)
+
+
+def _intersect_cvjp_fwd(inside_hits, scene, ro, rd, excl):
+    t, hid = _intersect_fwd_impl(scene, ro, rd, excl, inside_hits)
     return (t, hid), (scene, ro, rd, excl, t, hid)
 
 
-def _intersect_cvjp_bwd(residuals, cotangents):
+def _intersect_cvjp_bwd(inside_hits, residuals, cotangents):
     return sdf_mod.ift_backward(residuals, cotangents)
 
 
 _intersect_cvjp.defvjp(_intersect_cvjp_fwd, _intersect_cvjp_bwd)
 
 
-def intersect(scene: Scene, ro, rd, exclude=-1, steps: int = 255
-              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+def intersect(scene: Scene, ro, rd, exclude=-1, steps: int = 255,
+              inside_hits: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Analytic intersect → (t, object_id), march-compatible signature.
 
     `steps` is accepted for interface parity with `sdf.march` and ignored
-    (box tracing uses a fixed short loop).
+    (box tracing uses a fixed short loop). `inside_hits` (static) opts into
+    far-root sphere hits for rays starting inside a sphere — wavefront
+    dielectrics only; off by default for march parity (see _sphere_hits).
     """
     del steps
     excl = jnp.broadcast_to(jnp.asarray(exclude, jnp.int32), ro.shape[:-1])
-    return _intersect_cvjp(scene, ro, rd, excl)
+    return _intersect_cvjp(inside_hits, scene, ro, rd, excl)

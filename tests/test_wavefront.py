@@ -176,6 +176,89 @@ def test_direct_light_matches_quadrature_oracle():
     np.testing.assert_allclose(got, expect, rtol=0.08)
 
 
+def test_glossy_nee_matches_quadrature_oracle():
+    """A GLOSSY sphere lit by the sphere light: the center pixel's depth-1
+    estimate converges to the exact NEE expectation
+
+        E = ∫_cone w_nee(ω) · f·cos(ω) · Le dΩ,
+        f·cos = ρ_s (g+2)/2π · cosᵍα · cosθi,
+
+    catching any f/pdf convention mismatch between eval_pdf and sample()
+    (a sign(cosθi) in place of cosθi overestimates grazing NEE by 1/cosθi)."""
+    gloss = 5.0
+    cfg = RenderConfig(width=9, height=9, max_depth=1, spp=512, gloss=gloss)
+    scene = sphere_scene(
+        centers=[[0.0, 2.0, 6.0]], radii=[1.0], albedos=[[0.6, 0.6, 0.6]],
+        kinds=[BSDF.GLOSSY], light=(6.0, 5.0, -4.0, 1.0),
+        diffuse_energy=0.0, specular_energy=1.0, with_floor=False,
+    )
+    img = jax.jit(
+        wavefront.pathtrace, static_argnames=("config",)
+    )(scene, CAM, cfg, 0)
+    got = np.asarray(img[4, 4])
+
+    # Exact center-pixel hit geometry (camera at (0,2,0) looking +z).
+    ro = np.array([0.0, 2.0, 0.0])
+    c = np.array([0.0, 2.0, 6.0])
+    rd = np.array([0.0, 0.0, 1.0])
+    oc = ro - c
+    b = oc @ rd
+    t = -b - np.sqrt(b * b - (oc @ oc - 1.0)) - 1e-3
+    hl = ro + rd * t
+    n = (hl - c) / np.linalg.norm(hl - c)
+    refl = rd - 2.0 * (rd @ n) * n
+
+    lc = np.array([6.0, 5.0, -4.0])
+    lv = lc - hl
+    d = np.linalg.norm(lv)
+    w = lv / d
+    cos_max = np.sqrt(1.0 - (1.0 / d) ** 2)
+    l_pdf = 1.0 / (2.0 * np.pi * (1.0 - cos_max))
+
+    a = np.array([0.0, 1.0, 0.0]) if abs(w[1]) < 0.9 else np.array([1.0, 0.0, 0.0])
+    f = np.cross(w, a); f /= np.linalg.norm(f)
+    r = np.cross(w, f)
+    th = np.linspace(0.0, np.arccos(cos_max), 512)
+    phi = np.linspace(0.0, 2 * np.pi, 512, endpoint=False)
+    TH, PH = np.meshgrid(th, phi, indexing="ij")
+    dirs = (
+        np.sin(TH)[..., None] * (np.cos(PH)[..., None] * f + np.sin(PH)[..., None] * r)
+        + np.cos(TH)[..., None] * w
+    )
+    cos_i = np.clip(dirs @ n, 0.0, None)
+    cos_a = np.clip(dirs @ refl, 0.0, None)
+    f_cos = 0.6 * (gloss + 2.0) / (2.0 * np.pi) * cos_a**gloss * cos_i
+    b_pdf = np.where(cos_i > 0, (gloss + 1.0) / (2.0 * np.pi) * cos_a**gloss, 0.0)
+    w_nee = l_pdf / (l_pdf + b_pdf)
+    dOmega = np.sin(TH) * (th[1] - th[0]) * (2 * np.pi / 512)
+    expect = (w_nee * f_cos * 10.0 * dOmega).sum()
+
+    np.testing.assert_allclose(got, expect, rtol=0.08)
+
+
+def test_dielectric_internal_reflection_rehits_glass():
+    """An internally reflected ray (Fresnel reflection at the exit interface)
+    must re-hit its own sphere from inside, not escape through the wall: with
+    the light *behind* the camera, a glass sphere still shows contributions
+    from internal-bounce paths and never leaks a stale inside flag (finite,
+    energy-bounded image)."""
+    scene = sphere_scene(
+        centers=[[0.0, 2.0, 4.0]], radii=[1.0], albedos=[[1.0, 1.0, 1.0]],
+        kinds=[BSDF.DIELECTRIC], iors=[1.5],
+        light=(0.0, 2.0, 9.0, 1.0),
+        diffuse_energy=1.0, specular_energy=0.0, with_floor=False,
+    )
+    cfg = RenderConfig(width=24, height=24, max_depth=8, spp=16)
+    img = jax.jit(
+        wavefront.pathtrace, static_argnames=("config",)
+    )(scene, CAM, cfg, 0)
+    assert bool(jnp.isfinite(img).all())
+    # Energy conservation: nothing exceeds the light's emission.
+    assert float(img.max()) <= 10.0 + 1e-3
+    # Transmission through both interfaces still dominates the center.
+    assert float(img[12, 12].max()) > 0.5
+
+
 def test_mirror_reflects_light_geometrically():
     """Looking at a mirror sphere from where its reflection of the light is
     visible produces pixels that saw the light's full emission."""
