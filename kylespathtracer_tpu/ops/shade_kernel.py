@@ -395,6 +395,60 @@ def _roulette(sc, counts, dirs, ws, hl, ho, pre, energy_channel, nP):
     return [jnp.where(ok, contrib[c] * boost, 0.0) for c in range(3)]
 
 
+# ----------------------------------------------------------- shade core
+
+def _shade_core(sc, counts, nK, gloss, hn, rd, ho, hl, seed):
+    """Direct light + the four plane-strategy roulettes for both estimators
+    (common.glsl:430-616) → (est_d, est_s) as 3-component lists, unmasked.
+
+    Shared by the shade-only kernel below and the fused full-frame kernel
+    (ops/frame_kernel.py)."""
+    lx, ly, lz, lr = _light_vec(sc)
+    pre = _cone_pre(seed)
+    lv = (lx - hl[0], ly - hl[1], lz - hl[2])
+    dl_dir = _cone_dir(lv, lr, pre)
+    dl_pdf = _solid_angle(_dot(lv, lv), lr * lr)
+    lhit = _light_hit_mask(sc, counts, hl, ho, dl_dir)
+    lam_w = jnp.maximum(gmath.EPS, _dot(dl_dir, hn))
+    refl = _reflect(rd, hn)
+    pho_w = _powi(jnp.maximum(gmath.EPS, _dot(dl_dir, refl)), int(gloss))
+
+    est_d = [jnp.where(lhit, sc["light_color"][0, c] * dl_pdf * lam_w, 0.0) for c in range(3)]
+    est_s = [jnp.where(lhit, sc["light_color"][0, c] * dl_pdf * pho_w, 0.0) for c in range(3)]
+
+    nP = counts[0]
+    dirs_l, wpdf_l, dirs_p, wpdf_p = [], [], [], []
+    for p in range(nP):
+        dl, pl_ = _plane_pdf_lambert(sc, p, hl, pre)
+        dp_, pp_ = _plane_pdf_phong(sc, p, hl, pre)
+        dirs_l.append(dl)
+        wpdf_l.append(pl_)
+        dirs_p.append(dp_)
+        wpdf_p.append(pp_)
+
+    def lam(d):
+        return jnp.maximum(gmath.EPS, _dot(d, hn))
+
+    def pho(d):
+        return _powi(jnp.maximum(gmath.EPS, _dot(d, refl)), int(gloss))
+
+    wl_lam = [wpdf_l[p] * lam(dirs_l[p]) for p in range(nP)]
+    wp_lam = [wpdf_p[p] * lam(dirs_p[p]) for p in range(nP)]
+    wl_pho = [wpdf_l[p] * pho(dirs_l[p]) for p in range(nP)]
+    wp_pho = [wpdf_p[p] * pho(dirs_p[p]) for p in range(nP)]
+
+    for ws, dirs, ch, est in (
+        (wl_lam, dirs_l, 0, est_d),
+        (wp_lam, dirs_p, 1, est_d),
+        (wl_pho, dirs_l, 0, est_s),
+        (wp_pho, dirs_p, 1, est_s),
+    ):
+        r = _roulette(sc, counts, dirs, ws, hl, ho, pre, ch, nP)
+        for c in range(3):
+            est[c] = est[c] + r[c]
+    return est_d, est_s
+
+
 # ----------------------------------------------------------- the kernel
 
 def _shade_kernel(
@@ -442,51 +496,7 @@ def _shade_kernel(
         cam[2] + rd[2] * depth,
     )
 
-    # Direct light: shared cone sample + march, two BRDF weights
-    # (common.glsl:436-450 / :531-545).
-    lx, ly, lz, lr = _light_vec(sc)
-    pre = _cone_pre(seed)
-    lv = (lx - hl[0], ly - hl[1], lz - hl[2])
-    dl_dir = _cone_dir(lv, lr, pre)
-    dl_pdf = _solid_angle(_dot(lv, lv), lr * lr)
-    lhit = _light_hit_mask(sc, counts, hl, ho, dl_dir)
-    lam_w = jnp.maximum(gmath.EPS, _dot(dl_dir, hn))
-    refl = _reflect(rd, hn)
-    pho_w = _powi(jnp.maximum(gmath.EPS, _dot(dl_dir, refl)), int(gloss))
-
-    est_d = [jnp.where(lhit, sc["light_color"][0, c] * dl_pdf * lam_w, 0.0) for c in range(3)]
-    est_s = [jnp.where(lhit, sc["light_color"][0, c] * dl_pdf * pho_w, 0.0) for c in range(3)]
-
-    # Per-plane cone samples, once for both estimators.
-    dirs_l, wpdf_l, dirs_p, wpdf_p = [], [], [], []
-    for p in range(nP):
-        dl, pl_ = _plane_pdf_lambert(sc, p, hl, pre)
-        dp_, pp_ = _plane_pdf_phong(sc, p, hl, pre)
-        dirs_l.append(dl)
-        wpdf_l.append(pl_)
-        dirs_p.append(dp_)
-        wpdf_p.append(pp_)
-
-    def lam(d):
-        return jnp.maximum(gmath.EPS, _dot(d, hn))
-
-    def pho(d):
-        return _powi(jnp.maximum(gmath.EPS, _dot(d, refl)), int(gloss))
-
-    wl_lam = [wpdf_l[p] * lam(dirs_l[p]) for p in range(nP)]
-    wp_lam = [wpdf_p[p] * lam(dirs_p[p]) for p in range(nP)]
-    wl_pho = [wpdf_l[p] * pho(dirs_l[p]) for p in range(nP)]
-    wp_pho = [wpdf_p[p] * pho(dirs_p[p]) for p in range(nP)]
-
-    for ws, dirs, ch, est in (
-        (wl_lam, dirs_l, 0, est_d),
-        (wp_lam, dirs_p, 1, est_d),
-        (wl_pho, dirs_l, 0, est_s),
-        (wp_pho, dirs_p, 1, est_s),
-    ):
-        r = _roulette(sc, counts, dirs, ws, hl, ho, pre, ch, nP)
-        for c in range(3):
-            est[c] = est[c] + r[c]
+    est_d, est_s = _shade_core(sc, counts, nK, gloss, hn, rd, ho, hl, seed)
 
     # Mask non-shaded pixels (light and misses), as the passes do.
     shade = (ho != sc["light_id_arr"][0, 0]) & (ho > 0)

@@ -13,10 +13,15 @@ Two complementary paths (SURVEY §2.3):
   production multi-host layout: the only cross-device traffic is the tiny
   scene-grad psum and the reprojection halo, both riding ICI.
 
-The reprojection gather reads the *previous frame's* accumulation at
-arbitrary rows, so the shard_map forward keeps history replicated per host
-(all_gather'd once per frame) while everything else stays tiled — at
-1080p/f32 the history is ~50 MB, far under HBM, and the gather stays local.
+The reprojection gather reads the *previous frame's* accumulation near the
+current pixel (a 2×2 tap pattern around the reprojected point,
+common.glsl:677-688), so each device only needs its own history rows plus a
+halo of `halo_rows` from each neighbor: one `ppermute` each way per frame —
+comm O(halo·W), not O(H·W). Taps that land beyond the halo (camera jumps of
+more than halo_rows) are zero-weighted, restarting the temporal history at
+those pixels exactly like an off-screen tap (common.glsl:673-674); the
+velocity-adaptive clamp already resets history under fast motion
+(diffuse.frag:49-51), so this costs nothing in practice.
 """
 
 from __future__ import annotations
@@ -46,38 +51,45 @@ def jit_render_sharded(config: RenderConfig, mesh: Mesh):
     return run
 
 
-def render_frame_tiled(scene, camera, history, frame, config, mesh):
+def render_frame_tiled(scene, camera, history, frame, config, mesh,
+                       halo_rows: int = 8):
     """shard_map: each device renders its block of image rows.
 
-    History enters row-sharded; the reprojection source buffers are
-    all-gathered (ICI) so each device's 2×2 taps are local reads, then each
-    device shades only its rows. Returns row-sharded (image, new history).
+    History enters row-sharded; each device ppermutes `halo_rows` edge rows
+    to its neighbors so the reprojection 2×2 taps are local reads within
+    [row0-halo, row0+rows+halo). Returns row-sharded (image, new history).
     """
     n = mesh.devices.size
     assert config.height % n == 0, "height must divide the data axis"
     rows_per = config.height // n
+    halo = min(halo_rows, rows_per) if n > 1 else 0
 
     def tile_fn(scene, camera, hist_rows, frame):
         # hist_rows: this device's rows of the previous accumulation.
         idx = jax.lax.axis_index(DATA_AXIS)
 
-        # Reprojection sources need the full previous frame: all-gather the
-        # row blocks back into (H, W, ...) once per frame (ICI). Image leaves
-        # are ndim>=2; camera vectors stay replicated.
-        full_prev = jax.tree_util.tree_map(
-            lambda l: (
-                jax.lax.all_gather(l, DATA_AXIS, axis=0, tiled=True)
-                if l.ndim >= 2 and l.shape[0] == rows_per
-                else l
-            ),
-            hist_rows,
-        )
+        # Halo exchange: receive the last `halo` rows of the previous device
+        # (below) and the first `halo` rows of the next (above); edge devices
+        # receive zeros, which the gather's bounds mask already rejects.
+        def with_halo(l):
+            if not (l.ndim >= 2 and l.shape[0] == rows_per) or halo == 0:
+                return l
+            below = jax.lax.ppermute(
+                l[-halo:], DATA_AXIS, [(i, i + 1) for i in range(n - 1)]
+            )
+            above = jax.lax.ppermute(
+                l[:halo], DATA_AXIS, [(i, i - 1) for i in range(1, n)]
+            )
+            return jnp.concatenate([below, l, above], axis=0)
+
+        prev_window = jax.tree_util.tree_map(with_halo, hist_rows)
 
         # Render only this device's rows: geometry + shading restricted to a
         # row window. The camera ray grid depends on absolute pixel rows, so
         # shift the NDC window by the device index.
         img, new_hist = _render_row_block(
-            scene, camera, full_prev, frame, config, idx * rows_per, rows_per
+            scene, camera, prev_window, frame, config, idx * rows_per,
+            rows_per, buffer_row0=idx * rows_per - halo,
         )
         return img, new_hist
 
@@ -109,11 +121,11 @@ def render_frame_tiled(scene, camera, history, frame, config, mesh):
     return mapped(scene, camera, hist_sharded, frame)
 
 
-def _render_row_block(scene, camera, full_prev_hist, frame, config, row0, rows):
-    """Render rows [row0, row0+rows) against a full-height previous history.
-
-    Reuses the pipeline pieces with a row-windowed ray grid; the reproject
-    gather indexes the full-height buffers (local after the all_gather).
+def _render_row_block(scene, camera, full_prev_hist, frame, config, row0, rows,
+                      buffer_row0=0):
+    """Render rows [row0, row0+rows) against a previous-history row window
+    whose first buffer row is global image row `buffer_row0` (a full-height
+    buffer when 0, a tile+halo window from the ppermute exchange otherwise).
     """
     from kylespathtracer_tpu.core import gmath, sampler
     from kylespathtracer_tpu.render import composite as comp_mod
@@ -135,7 +147,11 @@ def _render_row_block(scene, camera, full_prev_hist, frame, config, row0, rows):
         t, oid = sdf_mod.march(scene, ro, rd, -1, config.steps)
     hit = oid > 0
     hl_full = ro + rd * t[..., None]
-    n, curv = sdf_mod.norcurv(scene, hl_full)
+    if gb_mod.use_tetra_normals(config):
+        n, curv = sdf_mod.norcurv(scene, hl_full)
+    else:
+        from kylespathtracer_tpu.scene import normals as nrm_mod
+        n, curv = nrm_mod.normal_curv(scene, hl_full, oid)
     n = jnp.where(hit[..., None], n, 0.0)
     gb = gb_mod.GBuffer(
         normal=n, obj_id=oid, depth=t - gmath.EPS, ray_dir=rd, curv=curv
@@ -159,11 +175,11 @@ def _render_row_block(scene, camera, full_prev_hist, frame, config, row0, rows):
     pd, ps = full_prev_hist.diffuse, full_prev_hist.specular
     rep_rgb_d, rep_cnt_d = rep_mod.reproject(
         prev_cam.loc, prev_cam.orient, hl, oid, pd.rgb, pd.cnt, pd.oid,
-        config.fov, image_size=(H, W),
+        config.fov, image_size=(H, W), buffer_row0=buffer_row0,
     )
     rep_rgb_s, rep_cnt_s = rep_mod.reproject(
         prev_cam.loc, prev_cam.orient, sl, oid, ps.rgb, ps.cnt, ps.oid,
-        config.fov, image_size=(H, W),
+        config.fov, image_size=(H, W), buffer_row0=buffer_row0,
     )
     rep_cnt_d = jnp.floor(rep_cnt_d)
     rep_cnt_s = jnp.floor(rep_cnt_s)

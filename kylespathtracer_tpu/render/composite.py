@@ -25,7 +25,18 @@ def composite(
     count, tonemap → sRGB image f32[H,W,3]."""
     hl = camera.loc + gb.ray_dir * gb.depth[..., None]
     albedo, _, energy = mat_mod.surface(scene.materials, gb.obj_id, hl)
+    return composite_from(albedo, energy, diffuse, specular, config)
 
+
+def composite_from(
+    albedo: jnp.ndarray,
+    energy: jnp.ndarray,
+    diffuse: Channel,
+    specular: Channel,
+    config: RenderConfig,
+) -> jnp.ndarray:
+    """Composite from precomputed primary albedo/energy (the fused kernel
+    outputs them; the reference re-fetches the surface, passthrough.frag:38)."""
     # diffuse × albedo·E_d; specular × sqrt(albedo)·E_s (passthrough.frag:39-41).
     # sqrt guarded with the safe-where pattern: d/dx sqrt at 0 is inf, and the
     # miss material row is exactly 0.

@@ -29,11 +29,20 @@ class GBuffer:
     #                      recomputes it in the specular pass (specular.frag:46)
 
 
+def use_tetra_normals(config: RenderConfig) -> bool:
+    """Resolve the normal estimator: tetrahedron for march parity, analytic
+    closed-form otherwise (scene/normals.py)."""
+    if config.normal_mode == "auto":
+        return config.intersect_mode == "march"
+    return config.normal_mode == "tetra"
+
+
 def geometry_pass(scene: Scene, camera: cam_mod.Camera, config: RenderConfig
                   ) -> GBuffer:
-    """March primary rays, take tetrahedron normals at the hits.
+    """Primary intersection + surface normals at the hits.
 
-    (reference: geometry.frag:66-72)
+    (reference: geometry.frag:66-72; normals are analytic per primitive on
+    the fast path, tetrahedron `norcurv` on the march-parity path)
     """
     rd = cam_mod.ray_dirs(camera, config.width, config.height, config.fov)
     ro = jnp.broadcast_to(camera.loc, rd.shape)
@@ -44,6 +53,10 @@ def geometry_pass(scene: Scene, camera: cam_mod.Camera, config: RenderConfig
         t, oid = sdf_mod.march(scene, ro, rd, -1, config.steps)
     hit = oid > 0
     hl = ro + rd * t[..., None]
-    n, c = sdf_mod.norcurv(scene, hl)
+    if use_tetra_normals(config):
+        n, c = sdf_mod.norcurv(scene, hl)
+    else:
+        from kylespathtracer_tpu.scene import normals as nrm_mod
+        n, c = nrm_mod.normal_curv(scene, hl, oid)
     n = jnp.where(hit[..., None], n, 0.0)
     return GBuffer(normal=n, obj_id=oid, depth=t - gmath.EPS, ray_dir=rd, curv=c)

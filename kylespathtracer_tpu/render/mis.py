@@ -213,25 +213,94 @@ def dual_mis(scene: Scene, trace, rd, hl, hn, ho, seed, config):
         si = sampler.fold_seed(seed, i)
         pre = sampler.cone_pre(si)
 
-        # Direct light: one cone sample, one visibility march, two weights.
+        # Direct-light cone sample (the visibility march is batched with the
+        # roulette plane marches below — one trace call instead of five, so
+        # the intersector is traced/compiled once).
         dl_dir, dl_pdf = sphere_light_pdf(hl, scene.light, pre=pre)
-        _, lm_id = trace(scene, hl, dl_dir, ho)
+
+        # Per-plane cone samples once; four roulettes (2 estimators × 2
+        # strategy families) share them.
+        dirs_l, pdfs_l = plane_pdfs(scene, lambert_plane_pdf, hl, pre=pre)
+        dirs_p, pdfs_p = plane_pdfs(scene, phong_plane_pdf, hl, pre=pre)
+
+        sels = []
+        for dirs, pdfs, brdf_w in (
+            (dirs_l, pdfs_l, lam),
+            (dirs_p, pdfs_p, lam),
+            (dirs_l, pdfs_l, pho),
+            (dirs_p, pdfs_p, pho),
+        ):
+            sels.append(_roulette_select(scene, dirs, pdfs, brdf_w, pre))
+
+        # Stage A: direct-light visibility + the 4 selected plane marches,
+        # one batched trace from hl.
+        dirs_a = jnp.stack([dl_dir] + [s["dir"] for s in sels], axis=0)
+        ro_a = jnp.broadcast_to(hl, dirs_a.shape)
+        ho_a = jnp.broadcast_to(ho, dirs_a.shape[:-1])
+        t_a, id_a = trace(scene, ro_a, dirs_a, ho_a)
+
         base = jnp.where(
-            (lm_id == scene.light_id)[..., None], scene.light_color, 0.0
+            (id_a[0] == scene.light_id)[..., None], scene.light_color, 0.0
         )
         est_d += base * (dl_pdf * gmath.lambertian(hn, dl_dir))[..., None]
         est_s += base * (dl_pdf * gmath.phong(rd, hn, dl_dir, gloss))[..., None]
 
-        # Per-plane cone samples once; four roulettes (2 estimators × 2
-        # strategy families).
-        dirs_l, pdfs_l = plane_pdfs(scene, lambert_plane_pdf, hl, pre=pre)
-        dirs_p, pdfs_p = plane_pdfs(scene, phong_plane_pdf, hl, pre=pre)
-        est_d += _roulette_from(scene, trace, dirs_l, pdfs_l, lam, hl, ho, si, 0, pre=pre)
-        est_d += _roulette_from(scene, trace, dirs_p, pdfs_p, lam, hl, ho, si, 1, pre=pre)
-        est_s += _roulette_from(scene, trace, dirs_l, pdfs_l, pho, hl, ho, si, 0, pre=pre)
-        est_s += _roulette_from(scene, trace, dirs_p, pdfs_p, pho, hl, ho, si, 1, pre=pre)
+        # Stage B: the 4 light re-samples from the sampled-plane points,
+        # one more batched trace.
+        hl2s, sdirs, pos = [], [], []
+        for k, s in enumerate(sels):
+            n = s["plane"][..., :3]
+            hl2 = hl + s["dir"] * t_a[k + 1][..., None] + n * gmath.EPS
+            lv2 = scene.light[:3] - hl2
+            hl2s.append(hl2)
+            sdirs.append(sampler.uniform_cone_dir(lv2, scene.light[3], pre=pre))
+            pos.append(s["po"])
+        ro_b = jnp.stack(hl2s, axis=0)
+        dirs_b = jnp.stack(sdirs, axis=0)
+        po_b = jnp.stack(pos, axis=0)
+        _, id_b = trace(scene, ro_b, dirs_b, po_b)
+
+        for k, (s, ch, est) in enumerate(
+            ((sels[0], 0, "d"), (sels[1], 1, "d"), (sels[2], 0, "s"),
+             (sels[3], 1, "s"))
+        ):
+            ok = id_a[k + 1] == s["po"]
+            lhit = id_b[k] == scene.light_id
+            lc = jnp.where(
+                lhit[..., None], scene.light_color * s["w"][..., None], 0.0
+            )
+            albedo, emission, energy = mat_mod.surface(
+                scene.materials, s["po"], ro_b[k]
+            )
+            contrib = emission + energy[..., ch:ch + 1] * albedo * lc
+            contrib = jnp.where(ok[..., None], contrib, 0.0)
+            contrib = contrib * (s["total"] / jnp.maximum(gmath.EPS, s["w"]))[..., None]
+            if est == "d":
+                est_d += contrib
+            else:
+                est_s += contrib
 
     return est_d / smp, est_s / smp
+
+
+def _roulette_select(scene: Scene, dirs, pdfs, brdf_w, pre):
+    """The roulette pick of `_roulette_from`, without the marches: returns
+    the selected direction/weight/plane/id and the CDF total so the marches
+    can be batched across strategies (common.glsl:453-519)."""
+    w = pdfs * brdf_w(dirs)
+    cdf = jnp.cumsum(w, axis=-1)
+    total = cdf[..., -1]
+    rnd = pre[3] * total
+    idx = jnp.sum((rnd[..., None] > cdf[..., :-1]).astype(jnp.int32), axis=-1)
+    dir_sel = jnp.take_along_axis(dirs, idx[..., None, None], axis=-2)[..., 0, :]
+    w_sel = jnp.take_along_axis(w, idx[..., None], axis=-1)[..., 0]
+    return {
+        "dir": dir_sel,
+        "w": w_sel,
+        "total": total,
+        "plane": scene.planes[idx],
+        "po": scene.plane_ids[idx],
+    }
 
 
 def dmis(scene: Scene, trace, hl, hn, ho, seed, config):

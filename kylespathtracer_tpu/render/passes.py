@@ -217,8 +217,11 @@ def specular_pass(
     vv = gmath.length(camera.loc - prev_camera.loc)
 
     # Reprojection anchor pushed toward the virtual image by surface
-    # curvature (specular.frag:45-49).
-    _, curv = sdf_mod.norcurv(scene, hl)
+    # curvature (specular.frag:45-49). The curvature comes from the G-buffer
+    # (computed once alongside the normal) instead of a second norcurv; the
+    # two evaluation points differ by eps along the ray, which is far inside
+    # the fac clamp below.
+    curv = gb.curv
     light_dist = gmath.length(hl - scene.light[:3])
     fac = gmath.EPS / jnp.sqrt(jnp.maximum(gmath.EPS, curv))
     sl = hl + rd * (light_dist * fac)[..., None]

@@ -53,12 +53,66 @@ def render_frame(
 
     (reference frame loop: main.cpp:344-350)
     """
+    if config.pipeline == "fused":
+        return render_frame_fused(scene, camera, history, frame, config)
     gb = gb_mod.geometry_pass(scene, camera, config)
     d, s = shade_passes(
         scene, config, gb, camera, history.camera,
         history.diffuse, history.specular, frame,
     )
     image = comp_mod.composite(scene, config, gb, camera, d, s)
+    return image, History(diffuse=d, specular=s, camera=camera)
+
+
+def render_frame_fused(
+    scene: Scene,
+    camera: Camera,
+    history: History,
+    frame: jnp.ndarray,
+    config: RenderConfig,
+) -> tuple[jnp.ndarray, History]:
+    """The fast-path frame: one fused Pallas kernel (raygen + intersect +
+    normals + dual-MIS shade + primary material) plus the XLA reprojection
+    gather and composite. Numerically equivalent to the unfused frame with
+    intersect_mode="analytic", normal_mode="analytic"; forward-only
+    (gradients use the unfused pipeline)."""
+    import jax as _jax
+
+    from kylespathtracer_tpu.core import gmath
+    from kylespathtracer_tpu.ops import frame_kernel as fk
+    from kylespathtracer_tpu.render import camera as cam_mod
+    from kylespathtracer_tpu.render import reproject as rep_mod
+    from kylespathtracer_tpu.render.passes import Channel, _temporal_clamp
+
+    interpret = _jax.default_backend() != "tpu"
+    out = fk.frame_forward_pallas(scene, camera, frame, config, interpret=interpret)
+    ho = out["oid"]
+
+    # Hit point + curvature-pushed specular anchor (specular.frag:45-49).
+    rd = cam_mod.ray_dirs(camera, config.width, config.height, config.fov)
+    hl = camera.loc + rd * out["depth"][..., None]
+    light_dist = gmath.length(hl - scene.light[:3])
+    fac = gmath.EPS / jnp.sqrt(jnp.maximum(gmath.EPS, out["curv"]))
+    sl = hl + rd * (light_dist * fac)[..., None]
+
+    vv = gmath.length(camera.loc - history.camera.loc)
+    prev = history.camera
+    rep_rgb_d, rep_cnt_d = rep_mod.reproject(
+        prev.loc, prev.orient, hl, ho,
+        history.diffuse.rgb, history.diffuse.cnt, history.diffuse.oid, config.fov,
+    )
+    rep_rgb_s, rep_cnt_s = rep_mod.reproject(
+        prev.loc, prev.orient, sl, ho,
+        history.specular.rgb, history.specular.cnt, history.specular.oid, config.fov,
+    )
+    rep_cnt_d = jnp.floor(rep_cnt_d)
+    rep_cnt_s = jnp.floor(rep_cnt_s)
+    rep_rgb_d, rep_cnt_d = _temporal_clamp(rep_rgb_d, rep_cnt_d, vv, config)
+    rep_rgb_s, rep_cnt_s = _temporal_clamp(rep_rgb_s, rep_cnt_s, vv, config)
+
+    d = Channel(rgb=rep_rgb_d + out["add_d"], cnt=rep_cnt_d + 1.0, oid=ho)
+    s = Channel(rgb=rep_rgb_s + out["add_s"], cnt=rep_cnt_s + 1.0, oid=ho)
+    image = comp_mod.composite_from(out["alb"], out["ene"], d, s, config)
     return image, History(diffuse=d, specular=s, camera=camera)
 
 

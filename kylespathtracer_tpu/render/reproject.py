@@ -24,14 +24,23 @@ def reproject(
     prev_id: jnp.ndarray,      # i32[H,W]
     fov: float = gmath.FOV,
     image_size: tuple[int, int] | None = None,
+    buffer_row0: jnp.ndarray | int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """→ (rgb[...,3], cnt[...]) accumulated history carried to this frame.
 
     Query points (hl, ho) may cover only a row window of the image (sharded
-    tiles); the history buffers are always full-height, and `image_size`
-    (H, W) fixes the NDC→pixel mapping (defaults to the buffer shape).
+    tiles); `image_size` (H, W) fixes the NDC→pixel mapping (defaults to the
+    buffer shape). The history buffers themselves may also be only a row
+    window (a tile plus halo rows, parallel/shard.py): `buffer_row0` is the
+    global image row of buffer row 0, and taps falling outside the buffer
+    window contribute zero weight — the history simply restarts there, the
+    same way an off-screen tap does (common.glsl:673-674).
     """
-    H, W = image_size if image_size is not None else prev_cnt.shape
+    if image_size is not None:
+        H, W = image_size
+    else:
+        H, W = prev_cnt.shape
+    window = prev_cnt.shape[0]
     asp = W / H
 
     # Previous camera basis (common.glsl:663-665).
@@ -55,11 +64,15 @@ def reproject(
 
     def tap(dx, dy):
         x = jnp.clip(iuv[..., 0] + dx, 0, W - 1)
-        y = jnp.clip(iuv[..., 1] + dy, 0, H - 1)
+        yg = iuv[..., 1] + dy  # global image row
         inb = (
             (iuv[..., 0] + dx >= 0) & (iuv[..., 0] + dx < W)
-            & (iuv[..., 1] + dy >= 0) & (iuv[..., 1] + dy < H)
+            & (yg >= 0) & (yg < H)
         )
+        # Buffer-local row; taps outside the buffer window are zero-weighted.
+        yl = yg - buffer_row0
+        inb = inb & (yl >= 0) & (yl < window)
+        y = jnp.clip(yl, 0, window - 1)
         match = (prev_id[y, x] == ho) & inb & inside
         m = match.astype(hl.dtype)
         return prev_rgb[y, x] * m[..., None], prev_cnt[y, x] * m

@@ -28,8 +28,11 @@ def _plane_hits(scene: Scene, ro, rd):
     """t to each plane from the positive side; (..., P)."""
     n = scene.planes[:, :3]
     w = scene.planes[:, 3]
-    denom = jnp.einsum("...k,pk->...p", rd, n)
-    sd0 = jnp.einsum("...k,pk->...p", ro, n) + w
+    # Explicit mul+sum, NOT einsum: einsum lowers to dot_general whose
+    # default matmul precision truncates f32 operands to bf16 on TPU (and on
+    # this stack's CPU backend too), which rounds 10 - 9.986 to exactly 0.
+    denom = jnp.sum(rd[..., None, :] * n, axis=-1)
+    sd0 = jnp.sum(ro[..., None, :] * n, axis=-1) + w
     t = -sd0 / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
     valid = (denom < -1e-7) & (t > 0)
     return jnp.where(valid, t, _INF)

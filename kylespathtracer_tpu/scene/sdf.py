@@ -64,7 +64,12 @@ def primitive_distances(scene: Scene, p: jnp.ndarray) -> jnp.ndarray:
     parts = [jnp.full(p.shape[:-1] + (1,), gmath.ZFAR, p.dtype)]
     if scene.planes.shape[0]:
         # dot(p, n) + d for each plane (common.glsl:266-269).
-        pd = jnp.einsum("...k,pk->...p", p, scene.planes[:, :3]) + scene.planes[:, 3]
+        # Explicit mul+sum, NOT einsum: dot_general's default matmul
+        # precision truncates f32 to bf16, destroying plane distances near
+        # large coordinates (10 - 9.986 → 0).
+        pd = jnp.sum(
+            p[..., None, :] * scene.planes[:, :3], axis=-1
+        ) + scene.planes[:, 3]
         parts.append(pd)
     if scene.spheres.shape[0]:
         # |p - c| - r (common.glsl:270).
@@ -131,7 +136,7 @@ def norcurv(scene: Scene, p: jnp.ndarray, ep: float = gmath.EPS
     t = jnp.stack(
         [sdf_dist(scene, p + e[i]) for i in range(4)], axis=-1
     )  # (..., 4)
-    n = jnp.einsum("...i,ik->...k", t, e)
+    n = jnp.sum(t[..., None] * e, axis=-2)  # mul+sum: full f32 (see sdf_dist)
     n = gmath.normalize(n)
     c = 0.25 / ep * (jnp.sum(t, axis=-1) - 4.0 * sdf_dist(scene, p))
     return n, c

@@ -39,12 +39,25 @@ class RenderConfig:
     #   "analytic" — closed-form ray/plane + ray/sphere, bounded march for
     #                rounded boxes; exact and much cheaper on TPU.
     intersect_mode: str = "analytic"
+    # Normal/curvature estimator:
+    #   "auto"     — analytic with the analytic intersector, tetrahedron with
+    #                the march (bit-parity with the reference oracle)
+    #   "analytic" — closed-form per-primitive normal + curvature
+    #   "tetra"    — 4+1-point tetrahedron norcurv (common.glsl:276-281)
+    normal_mode: str = "auto"
     # Shading backend:
     #   "xla"    — jnp pipeline (differentiable reference)
     #   "pallas" — fused VMEM-resident shade kernel (forward-only; falls
     #              back to interpret mode off-TPU). Gradients route through
     #              the XLA path regardless.
     shade_backend: str = "xla"
+    # Frame pipeline:
+    #   "pass"  — geometry → shade → composite as separate (XLA-fused) passes;
+    #             the differentiable reference path
+    #   "fused" — one Pallas kernel for raygen+intersect+normals+shade
+    #             (ops/frame_kernel.py) + XLA reprojection/composite;
+    #             forward-only, the TPU fast path
+    pipeline: str = "pass"
     # Camera (reference: common.glsl:33 FOV; main.cpp:302 window).
     fov: float = 1.5
     # Execution.
