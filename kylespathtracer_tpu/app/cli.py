@@ -29,6 +29,8 @@ def _config_from(args):
         kw["intersect_mode"] = "march"
     if getattr(args, "unbiased", False):
         kw["biased"] = False
+    if getattr(args, "fused", False):
+        kw["pipeline"] = "fused"
     return RenderConfig(**kw)
 
 
@@ -48,6 +50,7 @@ def cmd_render(args):
         metrics=metrics,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
+        preview=args.preview,
     )
     metrics.close()
 
@@ -131,6 +134,10 @@ def main(argv=None):
     p.add_argument("--unbiased", action="store_true", help="ground-truth estimators")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--preview", action="store_true",
+                   help="live ANSI preview in the terminal")
+    p.add_argument("--fused", action="store_true",
+                   help="fused Pallas frame pipeline (TPU fast path)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("pathtrace", help="multi-bounce wavefront render")

@@ -60,6 +60,7 @@ def render_animation(
     metrics: MetricsLogger | None = None,
     checkpoint_dir=None,
     checkpoint_every: int = 0,
+    preview: bool = False,
 ):
     """Render `num_frames` frames; returns (last_image, history).
 
@@ -80,6 +81,11 @@ def render_animation(
     )
 
     rays = config.width * config.height
+    tty = None
+    if preview:
+        from kylespathtracer_tpu.utils.preview import TerminalPreview
+
+        tty = TerminalPreview()
     image = None
     for i in range(start_frame, start_frame + num_frames):
         cam = jax.tree.map(lambda l: l[i], cameras)
@@ -89,6 +95,13 @@ def render_animation(
         dt = time.perf_counter() - t0
         if metrics is not None:
             metrics.log(frame=i, wall_s=round(dt, 6), rays_per_s=round(rays / dt, 1))
+        if tty is not None:
+            import numpy as _np
+
+            tty.show(
+                _np.asarray(image),
+                caption=f"frame {i}  {dt*1e3:.1f} ms  {rays/dt/1e6:.1f} Mrays/s",
+            )
         if out_dir is not None and save_every and (i % save_every == 0):
             image_io.save_image(Path(out_dir) / f"frame_{i:05d}.png", image)
         if checkpoint_dir and checkpoint_every and i and (i % checkpoint_every == 0):

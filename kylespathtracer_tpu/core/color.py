@@ -6,12 +6,13 @@
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # ACES input/output matrices (reference: common.glsl:120-139). GLSL mat3
 # constructors are column-major and the reference multiplies row-vector *
 # matrix, i.e. out_i = dot(color, column_i). Stored rows-as-written below,
 # each written row IS one GLSL column, so the numpy op is color @ M.T.
-_ACES_IN = jnp.array(
+_ACES_IN = np.array(
     [
         [0.59719, 0.35458, 0.04823],
         [0.07600, 0.90834, 0.01566],
@@ -19,7 +20,7 @@ _ACES_IN = jnp.array(
     ],
     jnp.float32,
 )
-_ACES_OUT = jnp.array(
+_ACES_OUT = np.array(
     [
         [1.60475, -0.53108, -0.07367],
         [-0.10208, 1.10813, -0.00605],
@@ -69,10 +70,10 @@ def aces_fitted(color: jnp.ndarray) -> jnp.ndarray:
 
 
 # Spectral→RGB piecewise-quadratic fit (reference: common.glsl:86-108).
-_FR1 = jnp.array([400., 410., 545., 595., 650., 415., 475., 585., 400., 475.])
-_FR2 = jnp.array([410., 475., 595., 650., 700., 475., 585., 639., 475., 560.])
-_DV1 = jnp.array([10., 65., 50., 55., 50., 60., 115., 54., 75., 85.])
-_C = jnp.array(
+_FR1 = np.array([400., 410., 545., 595., 650., 415., 475., 585., 400., 475.])
+_FR2 = np.array([410., 475., 595., 650., 700., 475., 585., 639., 475., 560.])
+_DV1 = np.array([10., 65., 50., 55., 50., 60., 115., 54., 75., 85.])
+_C = np.array(
     [
         [0.0, 0.33, -0.2], [0.14, 0.0, -0.13], [0.0, 1.98, -1.0],
         [0.98, 0.06, -0.4], [0.65, -0.84, 0.2], [0.0, 0.0, 0.8],

@@ -82,20 +82,34 @@ def fit(
 ):
     """Adam-descend scene params to match `target`; returns (scene, losses)."""
     params = extract_params(scene0, keys)
-    opt = optax.adam(lr)
+    # Cosine-decayed Adam: large early steps to cross plateaus, small late
+    # steps so the Monte-Carlo gradient noise (vary_seed) averages out.
+    opt = optax.adam(optax.cosine_decay_schedule(lr, max(steps, 1), alpha=0.05))
     opt_state = opt.init(params)
 
-    grad_fn = jax.jit(
-        jax.value_and_grad(loss_fn), static_argnames=("config",)
-    )
+    # The whole optimization is ONE lax.scan under ONE jit: a per-step
+    # Python loop pays a device round trip per step (dominant on a tunneled
+    # TPU) and a separate compile for the step; the scan compiles once and
+    # runs device-resident end to end.
+    @jax.jit
+    def run(params, opt_state, scene0, camera, target):
+        def body(carry, i):
+            params, opt_state = carry
+            frame = i if vary_seed else jnp.asarray(0, jnp.int32)
+            loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
+                params, scene0, camera, target, frame, config
+            )
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
 
-    losses = []
-    for i in range(steps):
-        frame = jnp.asarray(i if vary_seed else 0, jnp.int32)
-        loss, grads = grad_fn(params, scene0, camera, target, frame, config)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        losses.append(float(loss))
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(steps, dtype=jnp.int32)
+        )
+        return params, losses
+
+    params, losses = run(params, opt_state, scene0, camera, target)
+    losses = [float(l) for l in jax.device_get(losses)]
     return apply_params(scene0, params), losses
 
 
@@ -108,6 +122,7 @@ def run_recovery(
     seed: int = 0,
     log_every: int = 0,
     perturb: float = 0.35,
+    soft_shadows: float = 0.05,
 ):
     """The BASELINE north-star demo: recover an N-sphere scene's positions,
     radii and albedos from rendered targets, starting from a perturbed copy.
@@ -131,7 +146,9 @@ def run_recovery(
     albedos = rng.uniform(0.2, 0.9, (num_spheres, 3))
 
     scene_gt = sphere_scene(centers, radii, albedos)
-    config = RenderConfig(width=width, height=height)
+    # Soft shadows give the occluders silhouette gradients (diff/softvis.py);
+    # the target is rendered with the same β so recovery is self-consistent.
+    config = RenderConfig(width=width, height=height, soft_shadows=soft_shadows)
     camera = Camera.create(loc=(0.0, 2.5, -2.0), orient=(0.15, 0.0))
     target = render_once(scene_gt, camera, config, jnp.asarray(0, jnp.int32))
 
@@ -142,10 +159,8 @@ def run_recovery(
         np.full_like(albedos, 0.5),
     )
 
-    params0 = extract_params(scene0)
-    loss0 = float(loss_fn(params0, scene0, camera, target, jnp.asarray(0, jnp.int32), config))
-
     fitted, losses = fit(scene0, target, camera, config, steps=steps, lr=lr)
+    loss0 = losses[0]  # pre-update loss of the perturbed start
     if log_every:
         for i in range(0, len(losses), log_every):
             print(f"step {i}: loss {losses[i]:.3e}")

@@ -239,9 +239,22 @@ def dual_mis(scene: Scene, trace, rd, hl, hn, ho, seed, config):
         ho_a = jnp.broadcast_to(ho, dirs_a.shape[:-1])
         t_a, id_a = trace(scene, ro_a, dirs_a, ho_a)
 
-        base = jnp.where(
-            (id_a[0] == scene.light_id)[..., None], scene.light_color, 0.0
-        )
+        if config.soft_shadows > 0.0:
+            # Differentiable silhouettes: smooth sphere transmittance instead
+            # of the hard march hit (diff/softvis.py; biased, inverse-
+            # rendering mode only — planes/boxes are not softened).
+            from kylespathtracer_tpu.diff import softvis
+
+            dist = gmath.length(scene.light[:3] - hl)
+            t_surf = jnp.maximum(dist - scene.light[3], gmath.EPS)
+            vis = softvis.sphere_soft_transmittance(
+                scene, hl, dl_dir, t_surf, ho, config.soft_shadows
+            )
+            base = scene.light_color * vis[..., None]
+        else:
+            base = jnp.where(
+                (id_a[0] == scene.light_id)[..., None], scene.light_color, 0.0
+            )
         est_d += base * (dl_pdf * gmath.lambertian(hn, dl_dir))[..., None]
         est_s += base * (dl_pdf * gmath.phong(rd, hn, dl_dir, gloss))[..., None]
 

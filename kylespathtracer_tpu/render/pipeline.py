@@ -97,14 +97,24 @@ def render_frame_fused(
 
     vv = gmath.length(camera.loc - history.camera.loc)
     prev = history.camera
-    rep_rgb_d, rep_cnt_d = rep_mod.reproject(
-        prev.loc, prev.orient, hl, ho,
-        history.diffuse.rgb, history.diffuse.cnt, history.diffuse.oid, config.fov,
-    )
-    rep_rgb_s, rep_cnt_s = rep_mod.reproject(
-        prev.loc, prev.orient, sl, ho,
-        history.specular.rgb, history.specular.cnt, history.specular.oid, config.fov,
-    )
+    if config.reproject_backend == "window":
+        from kylespathtracer_tpu.ops import reproject_kernel as rk
+
+        (rep_rgb_d, rep_cnt_d), (rep_rgb_s, rep_cnt_s) = rk.reproject_pallas(
+            prev, hl, sl, ho, history.diffuse, history.specular, config.fov,
+            window=config.reproject_window, interpret=interpret,
+        )
+    else:
+        rep_rgb_d, rep_cnt_d = rep_mod.reproject(
+            prev.loc, prev.orient, hl, ho,
+            history.diffuse.rgb, history.diffuse.cnt, history.diffuse.oid,
+            config.fov,
+        )
+        rep_rgb_s, rep_cnt_s = rep_mod.reproject(
+            prev.loc, prev.orient, sl, ho,
+            history.specular.rgb, history.specular.cnt, history.specular.oid,
+            config.fov,
+        )
     rep_cnt_d = jnp.floor(rep_cnt_d)
     rep_cnt_s = jnp.floor(rep_cnt_s)
     rep_rgb_d, rep_cnt_d = _temporal_clamp(rep_rgb_d, rep_cnt_d, vv, config)

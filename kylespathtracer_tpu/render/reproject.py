@@ -14,6 +14,44 @@ import jax.numpy as jnp
 from kylespathtracer_tpu.core import gmath
 
 
+def reproject_query(
+    prev_loc: jnp.ndarray,
+    prev_orient: jnp.ndarray,
+    hl: jnp.ndarray,
+    fov: float,
+    image_size: tuple[int, int],
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Project anchor points into the previous camera → (iuv, duv, inside).
+
+    iuv i32[...,2]: integer corner pixel of the 2×2 tap window; duv f32[...,2]
+    the bilinear fraction; inside the NDC on-screen mask
+    (reference: common.glsl:663-677). Shared by the XLA gather and the Pallas
+    windowed-select reprojection (ops/reproject_kernel.py).
+    """
+    H, W = image_size
+    asp = W / H
+
+    # Previous camera basis (common.glsl:663-665).
+    lf = gmath.rotate_xy(jnp.asarray([0.0, 0.0, 1.0], hl.dtype), prev_orient)
+    r = gmath.normalize(jnp.cross(lf, jnp.asarray([0.0, 1.0, 0.0], hl.dtype)))
+    u = gmath.normalize(jnp.cross(lf, r))
+
+    # Direction from hit point to the previous camera (common.glsl:667).
+    nhl = gmath.normalize(prev_loc - hl)
+    denom = gmath.dot(nhl, lf)
+    denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+    luv = jnp.stack([gmath.dot(nhl, r), gmath.dot(nhl, u)], axis=-1)
+    luv = luv / denom[..., None] * fov / jnp.asarray([asp, 1.0], hl.dtype)
+
+    inside = jnp.all((luv <= 1.0) & (luv >= -1.0), axis=-1)  # common.glsl:673
+
+    # NDC → pixel coords minus the half-pixel center offset (common.glsl:677).
+    fuv = (luv * -0.5 + 0.5) * jnp.asarray([W, H], hl.dtype) - 0.5
+    iuv = jnp.trunc(fuv).astype(jnp.int32)
+    duv = fuv - iuv
+    return iuv, duv, inside
+
+
 def reproject(
     prev_loc: jnp.ndarray,     # f32[3] previous camera position (ll)
     prev_orient: jnp.ndarray,  # f32[2] previous camera orientation (lo)
@@ -41,26 +79,8 @@ def reproject(
     else:
         H, W = prev_cnt.shape
     window = prev_cnt.shape[0]
-    asp = W / H
 
-    # Previous camera basis (common.glsl:663-665).
-    lf = gmath.rotate_xy(jnp.asarray([0.0, 0.0, 1.0], hl.dtype), prev_orient)
-    r = gmath.normalize(jnp.cross(lf, jnp.asarray([0.0, 1.0, 0.0], hl.dtype)))
-    u = gmath.normalize(jnp.cross(lf, r))
-
-    # Direction from hit point to the previous camera (common.glsl:667).
-    nhl = gmath.normalize(prev_loc - hl)
-    denom = gmath.dot(nhl, lf)
-    denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
-    luv = jnp.stack([gmath.dot(nhl, r), gmath.dot(nhl, u)], axis=-1)
-    luv = luv / denom[..., None] * fov / jnp.asarray([asp, 1.0], hl.dtype)
-
-    inside = jnp.all((luv <= 1.0) & (luv >= -1.0), axis=-1)  # common.glsl:673
-
-    # NDC → pixel coords minus the half-pixel center offset (common.glsl:677).
-    fuv = (luv * -0.5 + 0.5) * jnp.asarray([W, H], hl.dtype) - 0.5
-    iuv = jnp.trunc(fuv).astype(jnp.int32)
-    duv = fuv - iuv
+    iuv, duv, inside = reproject_query(prev_loc, prev_orient, hl, fov, (H, W))
 
     def tap(dx, dy):
         x = jnp.clip(iuv[..., 0] + dx, 0, W - 1)

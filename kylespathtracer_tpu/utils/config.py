@@ -58,6 +58,16 @@ class RenderConfig:
     #             (ops/frame_kernel.py) + XLA reprojection/composite;
     #             forward-only, the TPU fast path
     pipeline: str = "pass"
+    # Reprojection backend for the fused pipeline:
+    #   "window" — Pallas bounded-window select (ops/reproject_kernel.py);
+    #              taps beyond `reproject_window` rows/cols restart history
+    #   "xla"    — exact arbitrary-motion gather (slow on TPU)
+    reproject_backend: str = "window"
+    reproject_window: int = 8
+    # Soft visibility (diff/softvis.py): beta > 0 replaces the hard NEE
+    # sphere-occlusion test with a smooth transmittance so silhouette
+    # gradients exist (biased estimator; inverse rendering only).
+    soft_shadows: float = 0.0
     # Camera (reference: common.glsl:33 FOV; main.cpp:302 window).
     fov: float = 1.5
     # Execution.

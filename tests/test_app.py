@@ -114,3 +114,20 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(state["history"].camera.loc), np.asarray(h.camera.loc)
     )
+
+
+def test_terminal_preview_ansi():
+    import io
+
+    import numpy as np
+
+    from kylespathtracer_tpu.utils.preview import TerminalPreview, frame_to_ansi
+
+    img = np.random.default_rng(0).random((48, 64, 3)).astype(np.float32)
+    s = frame_to_ansi(img, max_w=32, max_h=12)
+    assert len(s.split("\n")) == 12 and "\x1b[38;2;" in s
+    buf = io.StringIO()
+    tp = TerminalPreview(max_w=16, max_h=8, stream=buf)
+    tp.show(img, caption="f0")
+    tp.show(img, caption="f1")
+    assert "f1" in buf.getvalue()

@@ -7,6 +7,7 @@ decision boundary (roulette CDF pick, checker floor, ID match)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from kylespathtracer_tpu.ops import frame_kernel as fk
 from kylespathtracer_tpu.render import gbuffer as gbm
@@ -22,6 +23,7 @@ LOC = (3.0, 2.0, -3.0)
 ORI = (0.0, 0.7)
 
 
+@pytest.mark.slow
 def test_fused_geometry_matches_pass():
     scene = default_scene()
     cam = Camera.create(loc=LOC, orient=ORI)
@@ -38,6 +40,7 @@ def test_fused_geometry_matches_pass():
     )
 
 
+@pytest.mark.slow
 def test_fused_frame_matches_pass_image():
     scene = default_scene()
     cam = Camera.create(loc=LOC, orient=ORI)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from kylespathtracer_tpu.ops import shade_kernel as sk
 from kylespathtracer_tpu.render import camera as cam_mod
@@ -16,6 +17,7 @@ SCENE = default_scene()
 CAM = cam_mod.Camera.create(loc=(3.0, 2.0, -3.0), orient=(0.0, 0.7))
 
 
+@pytest.mark.slow
 def test_shade_kernel_matches_dual_mis():
     """The fused Pallas shade must reproduce mis.dual_mis to float noise."""
     cfg = RenderConfig(width=64, height=32)
@@ -37,6 +39,7 @@ def test_shade_kernel_matches_dual_mis():
     np.testing.assert_allclose(np.asarray(ks), np.asarray(est_s), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pallas_backend_pipeline():
     """Full frame with shade_backend='pallas' matches the XLA pipeline."""
     cfg_x = RenderConfig(width=48, height=32)
