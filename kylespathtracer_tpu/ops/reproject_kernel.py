@@ -33,33 +33,39 @@ from kylespathtracer_tpu.render import reproject as rep_mod
 
 
 def _set_kernel(win, ho, dyrel, dxrel, w4, bh, K, out):
-    """Accumulate one channel set into out = [r, g, b, cnt] lists."""
-    w00, w10, w01, w11 = w4
+    """Accumulate one channel set into out = [r, g, b, cnt] lists.
 
-    # Row-offset compares are l-independent: precompute for all o.
-    cy = {}
-    for o in range(-K, K + 2):
-        cy[o] = dyrel == o
+    The bilinear tap weights are separable — w_{ty,tx} = wy_ty · wx_tx with
+    per-axis bounds folded in — so the per-(o,l) coefficient factorizes:
+
+        coeff(o,l) = Y_o · X_l,   Y_o = Σ_ty [dyrel==o-ty]·wy_ty,
+                                  X_l = Σ_tx [dxrel==l-tx]·wx_tx
+
+    computed once per row/column offset instead of 4 masked selects per
+    term; the inner loop is then one multiply, one ID compare and 4 fmas.
+    """
+    wy0, wy1, wx0, wx1 = w4
+
+    Y = {}
+    for o in range(-K, K + 1):
+        Y[o] = (
+            jnp.where(dyrel == o, wy0, 0.0)
+            + jnp.where(dyrel == o - 1, wy1, 0.0)
+        )
 
     W = win[0].shape[1]
     for l in range(-K, K + 1):
         # rolled[:, gx] = p[:, gx + l] (wraps are masked by the tap bounds).
         rolled = [pltpu.roll(p, (-l) % W, axis=1) for p in win]
-        cx0 = dxrel == l        # tap tx = 0
-        cx1 = dxrel == l - 1    # tap tx = 1
+        X = (
+            jnp.where(dxrel == l, wx0, 0.0)
+            + jnp.where(dxrel == l - 1, wx1, 0.0)
+        )
         for o in range(-K, K + 1):
             rows = [p[bh + o:2 * bh + o, :] for p in rolled]
-            cy0 = cy[o]         # tap ty = 0
-            cy1 = cy[o - 1] if (o - 1) in cy else (dyrel == o - 1)
-            coeff = (
-                jnp.where(cy0 & cx0, w00, 0.0)
-                + jnp.where(cy0 & cx1, w10, 0.0)
-                + jnp.where(cy1 & cx0, w01, 0.0)
-                + jnp.where(cy1 & cx1, w11, 0.0)
-            )
             # ID-match on the tap texel (common.glsl:681-688); ids are stored
             # as float planes (exact for small ints).
-            coeff = jnp.where(rows[4] == ho, coeff, 0.0)
+            coeff = jnp.where(rows[4] == ho, Y[o] * X, 0.0)
             for c in range(4):
                 out[c] = out[c] + coeff * rows[c]
 
