@@ -72,7 +72,7 @@ def _set_kernel(win, ho, dyrel, dxrel, w4, bh, K, out):
 
 def _reproject_kernel(
     ho_ref,
-    dyrel, dxrel, w00, w10, w01, w11,
+    dyrel, dxrel, wy0, wy1, wx0, wx1,
     # history planes: (below, cur, above) x (r, g, b, cnt, idf)
     *refs,
     bh, K,
@@ -88,17 +88,24 @@ def _reproject_kernel(
 
     ho = ho_ref[:].astype(jnp.float32)
 
-    acc = [jnp.zeros_like(w00[:]) for _ in range(4)]
+    acc = [jnp.zeros_like(wy0[:]) for _ in range(4)]
     _set_kernel(
         win, ho, dyrel[:], dxrel[:],
-        (w00[:], w10[:], w01[:], w11[:]), bh, K, acc,
+        (wy0[:], wy1[:], wx0[:], wx1[:]), bh, K, acc,
     )
     for c in range(4):
         outs[c][:] = acc[c]
 
 
 def _queries(prev_cam, anchor, ho, fov, H, W):
-    """XLA head: per-pixel window offsets and bilinear tap weights."""
+    """XLA head: per-pixel window offsets and separable bilinear weights.
+
+    The 2x2 tap weight factorizes exactly — w(tx,ty) = wy_ty * wx_tx — because
+    both the bilinear fraction and the per-tap bounds check are per-axis
+    (common.glsl:677-693 reads taps (ix+tx, iy+ty) with independent x/y
+    clamping).  The off-screen `inside` reject (common.glsl:673-674) is folded
+    into the x axis only so it is not applied twice.
+    """
     iuv, duv, inside = rep_mod.reproject_query(
         prev_cam.loc, prev_cam.orient, anchor, fov, (H, W)
     )
@@ -106,18 +113,17 @@ def _queries(prev_cam, anchor, ho, fov, H, W):
     gx = jnp.arange(W, dtype=jnp.int32)[None, :]
     dyrel = iuv[..., 1] - gy
     dxrel = iuv[..., 0] - gx
+    ix = iuv[..., 0]
+    iy = iuv[..., 1]
     dx = duv[..., 0]
     dy = duv[..., 1]
 
-    def w(tx, ty):
-        wt = (dx if tx else (1.0 - dx)) * (dy if ty else (1.0 - dy))
-        inb = (
-            (iuv[..., 0] + tx >= 0) & (iuv[..., 0] + tx < W)
-            & (iuv[..., 1] + ty >= 0) & (iuv[..., 1] + ty < H)
-        )
-        return jnp.where(inb & inside, wt, 0.0)
+    wy0 = jnp.where((iy >= 0) & (iy < H), 1.0 - dy, 0.0)
+    wy1 = jnp.where((iy + 1 >= 0) & (iy + 1 < H), dy, 0.0)
+    wx0 = jnp.where((ix >= 0) & (ix < W) & inside, 1.0 - dx, 0.0)
+    wx1 = jnp.where((ix + 1 >= 0) & (ix + 1 < W) & inside, dx, 0.0)
 
-    return dyrel, dxrel, (w(0, 0), w(1, 0), w(0, 1), w(1, 1))
+    return dyrel, dxrel, (wy0, wy1, wx0, wx1)
 
 
 def reproject_pallas(
