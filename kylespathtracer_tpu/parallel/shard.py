@@ -172,19 +172,23 @@ def _render_row_block(scene, camera, full_prev_hist, frame, config, row0, rows,
     fac = gmath.EPS / jnp.sqrt(jnp.maximum(gmath.EPS, gb.curv))
     sl = hl + rd * (light_dist * fac)[..., None]
 
-    pd, ps = full_prev_hist.diffuse, full_prev_hist.specular
-    rep_rgb_d, rep_cnt_d = rep_mod.reproject(
-        prev_cam.loc, prev_cam.orient, hl, oid, pd.rgb, pd.cnt, pd.oid,
-        config.fov, image_size=(H, W), buffer_row0=buffer_row0,
-    )
-    rep_rgb_s, rep_cnt_s = rep_mod.reproject(
-        prev_cam.loc, prev_cam.orient, sl, oid, ps.rgb, ps.cnt, ps.oid,
-        config.fov, image_size=(H, W), buffer_row0=buffer_row0,
-    )
-    rep_cnt_d = jnp.floor(rep_cnt_d)
-    rep_cnt_s = jnp.floor(rep_cnt_s)
-    rep_rgb_d, rep_cnt_d = _temporal_clamp(rep_rgb_d, rep_cnt_d, vv, config)
-    rep_rgb_s, rep_cnt_s = _temporal_clamp(rep_rgb_s, rep_cnt_s, vv, config)
+    if config.no_history:
+        rep_rgb_d = rep_rgb_s = jnp.zeros(oid.shape + (3,), jnp.float32)
+        rep_cnt_d = rep_cnt_s = jnp.zeros(oid.shape, jnp.float32)
+    else:
+        pd, ps = full_prev_hist.diffuse, full_prev_hist.specular
+        rep_rgb_d, rep_cnt_d = rep_mod.reproject(
+            prev_cam.loc, prev_cam.orient, hl, oid, pd.rgb, pd.cnt, pd.oid,
+            config.fov, image_size=(H, W), buffer_row0=buffer_row0,
+        )
+        rep_rgb_s, rep_cnt_s = rep_mod.reproject(
+            prev_cam.loc, prev_cam.orient, sl, oid, ps.rgb, ps.cnt, ps.oid,
+            config.fov, image_size=(H, W), buffer_row0=buffer_row0,
+        )
+        rep_cnt_d = jnp.floor(rep_cnt_d)
+        rep_cnt_s = jnp.floor(rep_cnt_s)
+        rep_rgb_d, rep_cnt_d = _temporal_clamp(rep_rgb_d, rep_cnt_d, vv, config)
+        rep_rgb_s, rep_cnt_s = _temporal_clamp(rep_rgb_s, rep_cnt_s, vv, config)
 
     trace = get_trace(config)
     _, emission, _ = mat_mod.surface(scene.materials, oid, hl)
@@ -207,10 +211,14 @@ def train_step_tiled(params, opt_state, opt, scene, camera, target, frame,
                      config, mesh):
     """shard_map inverse-rendering step: per-device loss on its rows, scene
     gradients psum-reduced over ICI, replicated Adam update."""
+    import dataclasses
+
     from kylespathtracer_tpu.diff import inverse
 
     n = mesh.devices.size
     rows_per = config.height // n
+    # Single-frame differentiable render: skip the all-zero history gather.
+    config = dataclasses.replace(config, no_history=True)
 
     def loss_tile(params, scene, camera, target_rows, frame):
         idx = jax.lax.axis_index(DATA_AXIS)

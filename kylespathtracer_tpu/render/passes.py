@@ -113,25 +113,34 @@ def shade_passes(
     rd = gb.ray_dir
     vv = gmath.length(camera.loc - prev_camera.loc)
 
-    # Diffuse reprojects at the hit point; specular pushes the anchor toward
-    # the virtual image by curvature (specular.frag:45-49; curvature comes
-    # from the G-buffer instead of a second norcurv).
-    light_dist = gmath.length(hl - scene.light[:3])
-    fac = gmath.EPS / jnp.sqrt(jnp.maximum(gmath.EPS, gb.curv))
-    sl = hl + rd * (light_dist * fac)[..., None]
+    if config.no_history:
+        # Fresh-history single-frame render: the reprojection of an all-zero
+        # history is zeros — skip the gather (dominant in the differentiable
+        # single-frame forward) and the temporal clamp entirely.
+        zero3 = jnp.zeros(ho.shape + (3,), jnp.float32)
+        zero1 = jnp.zeros(ho.shape, jnp.float32)
+        rep_rgb_d = rep_rgb_s = zero3
+        rep_cnt_d = rep_cnt_s = zero1
+    else:
+        # Diffuse reprojects at the hit point; specular pushes the anchor
+        # toward the virtual image by curvature (specular.frag:45-49;
+        # curvature comes from the G-buffer instead of a second norcurv).
+        light_dist = gmath.length(hl - scene.light[:3])
+        fac = gmath.EPS / jnp.sqrt(jnp.maximum(gmath.EPS, gb.curv))
+        sl = hl + rd * (light_dist * fac)[..., None]
 
-    rep_rgb_d, rep_cnt_d = rep_mod.reproject(
-        prev_camera.loc, prev_camera.orient, hl, ho,
-        prev_d.rgb, prev_d.cnt, prev_d.oid, config.fov,
-    )
-    rep_rgb_s, rep_cnt_s = rep_mod.reproject(
-        prev_camera.loc, prev_camera.orient, sl, ho,
-        prev_s.rgb, prev_s.cnt, prev_s.oid, config.fov,
-    )
-    rep_cnt_d = jnp.floor(rep_cnt_d)
-    rep_cnt_s = jnp.floor(rep_cnt_s)
-    rep_rgb_d, rep_cnt_d = _temporal_clamp(rep_rgb_d, rep_cnt_d, vv, config)
-    rep_rgb_s, rep_cnt_s = _temporal_clamp(rep_rgb_s, rep_cnt_s, vv, config)
+        rep_rgb_d, rep_cnt_d = rep_mod.reproject(
+            prev_camera.loc, prev_camera.orient, hl, ho,
+            prev_d.rgb, prev_d.cnt, prev_d.oid, config.fov,
+        )
+        rep_rgb_s, rep_cnt_s = rep_mod.reproject(
+            prev_camera.loc, prev_camera.orient, sl, ho,
+            prev_s.rgb, prev_s.cnt, prev_s.oid, config.fov,
+        )
+        rep_cnt_d = jnp.floor(rep_cnt_d)
+        rep_cnt_s = jnp.floor(rep_cnt_s)
+        rep_rgb_d, rep_cnt_d = _temporal_clamp(rep_rgb_d, rep_cnt_d, vv, config)
+        rep_rgb_s, rep_cnt_s = _temporal_clamp(rep_rgb_s, rep_cnt_s, vv, config)
 
     _, emission, _ = mat_mod.surface(scene.materials, ho, hl)
     if config.shade_backend == "pallas":
@@ -177,12 +186,16 @@ def diffuse_pass(
     hn = gb.normal
     vv = gmath.length(camera.loc - prev_camera.loc)
 
-    rep_rgb, rep_cnt = rep_mod.reproject(
-        prev_camera.loc, prev_camera.orient, hl, ho,
-        prev.rgb, prev.cnt, prev.oid, config.fov,
-    )
-    rep_cnt = jnp.floor(rep_cnt)  # fcol.a = floor(fcol.a), diffuse.frag:46
-    rep_rgb, rep_cnt = _temporal_clamp(rep_rgb, rep_cnt, vv, config)
+    if config.no_history:
+        rep_rgb = jnp.zeros(ho.shape + (3,), jnp.float32)
+        rep_cnt = jnp.zeros(ho.shape, jnp.float32)
+    else:
+        rep_rgb, rep_cnt = rep_mod.reproject(
+            prev_camera.loc, prev_camera.orient, hl, ho,
+            prev.rgb, prev.cnt, prev.oid, config.fov,
+        )
+        rep_cnt = jnp.floor(rep_cnt)  # fcol.a = floor(fcol.a), diffuse.frag:46
+        rep_rgb, rep_cnt = _temporal_clamp(rep_rgb, rep_cnt, vv, config)
 
     _, emission, _ = mat_mod.surface(scene.materials, ho, hl)
     rgb = rep_rgb + emission
@@ -226,12 +239,16 @@ def specular_pass(
     fac = gmath.EPS / jnp.sqrt(jnp.maximum(gmath.EPS, curv))
     sl = hl + rd * (light_dist * fac)[..., None]
 
-    rep_rgb, rep_cnt = rep_mod.reproject(
-        prev_camera.loc, prev_camera.orient, sl, ho,
-        prev.rgb, prev.cnt, prev.oid, config.fov,
-    )
-    rep_cnt = jnp.floor(rep_cnt)
-    rep_rgb, rep_cnt = _temporal_clamp(rep_rgb, rep_cnt, vv, config)
+    if config.no_history:
+        rep_rgb = jnp.zeros(ho.shape + (3,), jnp.float32)
+        rep_cnt = jnp.zeros(ho.shape, jnp.float32)
+    else:
+        rep_rgb, rep_cnt = rep_mod.reproject(
+            prev_camera.loc, prev_camera.orient, sl, ho,
+            prev.rgb, prev.cnt, prev.oid, config.fov,
+        )
+        rep_cnt = jnp.floor(rep_cnt)
+        rep_rgb, rep_cnt = _temporal_clamp(rep_rgb, rep_cnt, vv, config)
 
     _, emission, _ = mat_mod.surface(scene.materials, ho, hl)
     rgb = rep_rgb + emission

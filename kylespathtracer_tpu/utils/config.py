@@ -64,6 +64,12 @@ class RenderConfig:
     #   "xla"    — exact arbitrary-motion gather (slow on TPU)
     reproject_backend: str = "window"
     reproject_window: int = 8
+    # Single-frame fast path: treat the previous history as empty and skip
+    # the reprojection gather + temporal clamp entirely. Numerically
+    # identical to rendering against a fresh zero history (the gather of an
+    # all-zero buffer returns zeros), but saves its full cost — dominant in
+    # the differentiable single-frame render (diff/inverse.py).
+    no_history: bool = False
     # Soft visibility (diff/softvis.py): beta > 0 replaces the hard NEE
     # sphere-occlusion test with a smooth transmittance so silhouette
     # gradients exist (biased estimator; inverse rendering only).

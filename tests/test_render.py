@@ -156,3 +156,26 @@ def test_dual_mis_matches_unfused():
         np.asarray(s_fused.rgb), np.asarray(s_ref.rgb), rtol=1e-4, atol=1e-4
     )
     np.testing.assert_array_equal(np.asarray(d_fused.oid), np.asarray(d_ref.oid))
+
+
+def test_no_history_matches_fresh_history():
+    """The no_history fast path (skip reprojection of an all-zero history)
+    is numerically identical to rendering against a fresh zero history."""
+    import dataclasses
+
+    from kylespathtracer_tpu.render.camera import Camera
+
+    scene = default_scene()
+    cam = Camera.create(loc=(3.0, 2.0, -3.0), orient=(0.0, 0.7))
+    cfg = RenderConfig(width=48, height=32)
+    hist = init_history(cfg, cam)
+    img0, h0 = render_frame(scene, cam, hist, jnp.asarray(0, jnp.int32), cfg)
+    cfg1 = dataclasses.replace(cfg, no_history=True)
+    img1, h1 = render_frame(scene, cam, hist, jnp.asarray(0, jnp.int32), cfg1)
+    np.testing.assert_allclose(np.asarray(img0), np.asarray(img1), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(h0.diffuse.rgb), np.asarray(h1.diffuse.rgb), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(h0.specular.cnt), np.asarray(h1.specular.cnt), atol=1e-6
+    )
