@@ -20,9 +20,12 @@ this approaches the hard test; for β > 0 the estimator is *biased*
 smoothed rendering — the standard soft-visibility trade
 (cf. differentiable-rendering practice; SURVEY §7 hard part (a)).
 
-Planes and boxes stay hard occluders: BASELINE's inverse-rendering configs
-optimize spheres; a hard occluder that fully blocks simply multiplies T by 0
-through the same smooth path (σ of a large negative number).
+Planes and boxes stay hard occluders: this transmittance only covers
+spheres, so callers (render/mis.dual_mis) must still gate it with the hard
+trace result — visibility is zeroed when the shadow ray's nearest hit is a
+plane, a box, or a miss, and only sphere occlusion is smoothed. BASELINE's
+inverse-rendering configs optimize spheres, so those are the silhouettes
+that need gradients.
 """
 
 from __future__ import annotations

@@ -142,6 +142,15 @@ def reproject_pallas(
     kernel → ((rgb_d, cnt_d), (rgb_s, cnt_s)). Taps beyond `window` rows or
     columns drop their history (see module docstring)."""
     H, W = ho.shape
+    if window > block_rows:
+        import warnings
+
+        warnings.warn(
+            f"reproject window={window} exceeds the kernel's one-block halo "
+            f"(block_rows={block_rows}); clamping to {block_rows}. Pass a "
+            "larger block_rows to widen the vertical window.",
+            stacklevel=2,
+        )
     K = min(window, block_rows)
     nb = -(-H // block_rows)
     Hp = nb * block_rows

@@ -73,8 +73,9 @@ def process_info() -> dict:
     }
 
 
-def global_mesh(axis: str = "data"):
-    """1-D mesh over all global devices (call after initialize_from_env)."""
+def global_mesh():
+    """1-D "data" mesh over all global devices (call after
+    initialize_from_env)."""
     from kylespathtracer_tpu.parallel.mesh import make_mesh
 
     return make_mesh(None)

@@ -242,7 +242,10 @@ def dual_mis(scene: Scene, trace, rd, hl, hn, ho, seed, config):
         if config.soft_shadows > 0.0:
             # Differentiable silhouettes: smooth sphere transmittance instead
             # of the hard march hit (diff/softvis.py; biased, inverse-
-            # rendering mode only — planes/boxes are not softened).
+            # rendering mode only). Planes/boxes are NOT softened: the hard
+            # trace result still gates them — a shadow ray whose nearest hit
+            # is a plane or box (or a miss) keeps zero visibility, only
+            # sphere occlusion is smoothed.
             from kylespathtracer_tpu.diff import softvis
 
             dist = gmath.length(scene.light[:3] - hl)
@@ -250,6 +253,10 @@ def dual_mis(scene: Scene, trace, rd, hl, hn, ho, seed, config):
             vis = softvis.sphere_soft_transmittance(
                 scene, hl, dl_dir, t_surf, ho, config.soft_shadows
             )
+            sphere_or_light = jnp.any(
+                id_a[0][..., None] == scene.sphere_ids, axis=-1
+            )
+            vis = jnp.where(sphere_or_light, vis, 0.0)
             base = scene.light_color * vis[..., None]
         else:
             base = jnp.where(

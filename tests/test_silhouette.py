@@ -122,3 +122,28 @@ def test_soft_shadows_config_runs_through_pipeline():
     )
     assert np.isfinite(float(loss))
     assert np.isfinite(np.asarray(grads["spheres"])).all()
+
+
+def test_soft_shadows_keep_hard_occluders():
+    """Soft-shadow mode must not leak light past plane/box occluders.
+
+    In the default scene the only sphere is the light itself, so the sphere
+    transmittance is 1 everywhere; with the hard-trace gate in place the
+    soft render equals the hard render exactly. Without the gate, pixels
+    whose shadow ray is blocked by the wall/box/ceiling get full direct
+    light (the round-2 light-leak bug, ADVICE r2 #2)."""
+    from kylespathtracer_tpu.diff import inverse
+    from kylespathtracer_tpu.render.camera import Camera
+    from kylespathtracer_tpu.scene.scene import default_scene
+    from kylespathtracer_tpu.utils.config import RenderConfig
+
+    scene = default_scene()
+    cam = Camera.create(loc=(3.0, 2.0, -3.0), orient=(0.0, 0.7))
+    frame = jnp.asarray(0, jnp.int32)
+    hard = inverse.render_once(
+        scene, cam, RenderConfig(width=64, height=48), frame
+    )
+    soft = inverse.render_once(
+        scene, cam, RenderConfig(width=64, height=48, soft_shadows=0.05), frame
+    )
+    np.testing.assert_allclose(np.asarray(soft), np.asarray(hard), atol=1e-5)
