@@ -152,12 +152,30 @@ def bench_forward(scene, camera, rtt, width=1920, height=1080, iters=30):
     raise RuntimeError("both pipelines failed")
 
 
-def bench_fwd_bwd(scene, camera, rtt, width=1920, height=1080, iters=5):
+def bench_fwd_bwd(scene, camera, rtt, width=1920, height=1080, iters=10):
     """value_and_grad of a pixel loss through the differentiable pipeline
-    (BASELINE.json: rays/s/chip fwd+bwd at 1spp 1080p). Uses the single-frame
-    no_history fast path (fresh-history renders skip the reprojection gather
-    entirely — it reads all-zero history)."""
-    config = RenderConfig(width=width, height=height, no_history=True)
+    (BASELINE.json: rays/s/chip fwd+bwd at 1spp 1080p).
+
+    Uses the fused Pallas frame with its custom-VJP backward kernel
+    (ops/frame_grad.py) + the single-frame no_history fast path; falls back
+    to the XLA pass pipeline if the kernels fail on this backend."""
+    for pipeline in ("fused", "pass"):
+        try:
+            return _bench_fwd_bwd_one(
+                scene, camera, rtt, width, height, iters, pipeline
+            )
+        except Exception as e:  # pragma: no cover - fallback path
+            stderr_json(
+                metric="fwd_bwd_pipeline_error", pipeline=pipeline,
+                error=str(e)[:200],
+            )
+    raise RuntimeError("both fwd+bwd pipelines failed")
+
+
+def _bench_fwd_bwd_one(scene, camera, rtt, width, height, iters, pipeline):
+    config = RenderConfig(
+        width=width, height=height, no_history=True, pipeline=pipeline
+    )
     history = init_history(config, camera)
 
     def loss_fn(scene, camera, history, frame):
@@ -178,6 +196,7 @@ def bench_fwd_bwd(scene, camera, rtt, width=1920, height=1080, iters=5):
         metric="fwd_bwd_rays_per_s_1080p",
         value=round(width * height / dt, 1),
         frame_ms=round(dt * 1e3, 2),
+        pipeline=pipeline,
         compile_s=round(compile_s, 1),
     )
 

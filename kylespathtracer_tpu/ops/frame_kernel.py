@@ -75,45 +75,42 @@ def _normal_curv(sc, counts, hl, ho):
     return tuple(n), c
 
 
-def _frame_kernel(
-    planes_ref, plane_ids_ref, spheres_ref, sphere_ids_ref, boxes_ref,
-    box_ids_ref, light_color_ref, light_ref, light_id_ref,
-    mat_s0_ref, mat_s1_ref, mat_freq_ref, mat_alb_const_ref,
-    mat_alb_scale_ref, mat_emission_ref, mat_en_const_ref, mat_en_scale_ref,
-    cam_ref, orient_ref, frame_ref,
-    add_d_r, add_d_g, add_d_b, add_s_r, add_s_g, add_s_b,
-    alb_r, alb_g, alb_b, ene_d, ene_s, depth_out, curv_out, oid_out,
-    *, counts, nK, gloss, width, height, fov, block_rows,
+# Ordered names of the kernel's 20 small operands; the first block builds
+# the `sc` dict, the last three are camera loc / orient / frame index.
+SC_KEYS = (
+    "planes", "plane_ids", "spheres", "sphere_ids", "boxes", "box_ids",
+    "light_color", "light", "light_id_arr", "mat_s0", "mat_s1", "mat_freq",
+    "mat_alb_const", "mat_alb_scale", "mat_emission", "mat_en_const",
+    "mat_en_scale",
+)
+
+
+def frame_block(
+    sc, cam, orient, frame, row0,
+    *, counts, nK, gloss, width, height, fov, block_rows, soft_beta=0.0,
+    block_cols=None, col0=0,
 ):
-    sc = {
-        "planes": planes_ref,
-        "plane_ids": plane_ids_ref,
-        "spheres": spheres_ref,
-        "sphere_ids": sphere_ids_ref,
-        "boxes": boxes_ref,
-        "box_ids": box_ids_ref,
-        "light_color": light_color_ref,
-        "light": light_ref,
-        "light_id_arr": light_id_ref,
-        "mat_s0": mat_s0_ref,
-        "mat_s1": mat_s1_ref,
-        "mat_freq": mat_freq_ref,
-        "mat_alb_const": mat_alb_const_ref,
-        "mat_alb_scale": mat_alb_scale_ref,
-        "mat_emission": mat_emission_ref,
-        "mat_en_const": mat_en_const_ref,
-        "mat_en_scale": mat_en_scale_ref,
-        "nK": nK,
-    }
-    shape = (block_rows, width)
-    i = pl.program_id(0)
+    """The fused frame's per-block math as a pure function of VALUES.
+
+    sc: dict of SC_KEYS → arrays (kernel operand shapes); cam f32[1,3];
+    orient f32[1,2]; frame i32 scalar; row0/col0 i32 scalars (first image
+    row/col of the block). Returns the 14 planes, 13 f32 + oid i32, each
+    (block_rows, block_cols or width).
+
+    Shared three ways: the forward kernel wraps it over refs (full-width
+    blocks); the backward kernel (ops/frame_grad.py) `jax.vjp`s it per 2-D
+    block; tests call it as plain jnp to check the math without Pallas
+    interpret overhead.
+    """
+    sc = dict(sc)
+    sc["nK"] = nK
+    shape = (block_rows, width if block_cols is None else block_cols)
 
     # Pixel grid of this block. Row 0 is the image bottom (GL fragCoord).
-    px = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    py = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i * block_rows
+    px = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + col0
+    py = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
 
     # Per-pixel Weyl seed (common.glsl:39-41), all int32 wraparound.
-    frame = frame_ref[0, 0]
     seed = (
         ((frame << 12) + px + (py << 1))
         ^ (px * jnp.int32(height))
@@ -128,19 +125,18 @@ def _frame_kernel(
     zf = jnp.full(shape, float(fov), jnp.float32)
     inv = jax.lax.rsqrt(xf * xf + yf * yf + zf * zf)
     dx, dy, dz = xf * inv, yf * inv, zf * inv
-    cx = jnp.cos(orient_ref[0, 0])
-    sx = jnp.sin(orient_ref[0, 0])
-    cy = jnp.cos(orient_ref[0, 1])
-    sy = jnp.sin(orient_ref[0, 1])
+    cx = jnp.cos(orient[0, 0])
+    sx = jnp.sin(orient[0, 0])
+    cy = jnp.cos(orient[0, 1])
+    sy = jnp.sin(orient[0, 1])
     y2 = dy * cx + dz * sx
     z1 = -dy * sx + dz * cx
     rd = (dx * cy + z1 * sy, y2, -dx * sy + z1 * cy)
 
-    cam = (cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
     ro = (
-        jnp.full(shape, 0.0, jnp.float32) + cam[0],
-        jnp.full(shape, 0.0, jnp.float32) + cam[1],
-        jnp.full(shape, 0.0, jnp.float32) + cam[2],
+        jnp.full(shape, 0.0, jnp.float32) + cam[0, 0],
+        jnp.full(shape, 0.0, jnp.float32) + cam[0, 1],
+        jnp.full(shape, 0.0, jnp.float32) + cam[0, 2],
     )
 
     # Primary intersect (geometry.frag:67-68) + analytic normal/curvature.
@@ -157,27 +153,73 @@ def _frame_kernel(
     hl = (ro[0] + rd[0] * depth, ro[1] + rd[1] * depth, ro[2] + rd[2] * depth)
 
     # Dual-MIS estimators (common.glsl:430-616).
-    est_d, est_s = sk._shade_core(sc, counts, nK, gloss, hn, rd, oid, hl, seed)
+    est_d, est_s = sk._shade_core(
+        sc, counts, nK, gloss, hn, rd, oid, hl, seed, soft_beta=soft_beta
+    )
 
     # Emission + primary material for reprojection add / composite
     # (diffuse.frag:54-56; passthrough.frag:39-41).
     alb, emi, ene = sk._surface(sc, oid, hl, nK)
     shade = (oid != sc["light_id_arr"][0, 0]) & hit
 
-    add_d_r[:] = emi[0] + jnp.where(shade, est_d[0], 0.0)
-    add_d_g[:] = emi[1] + jnp.where(shade, est_d[1], 0.0)
-    add_d_b[:] = emi[2] + jnp.where(shade, est_d[2], 0.0)
-    add_s_r[:] = emi[0] + jnp.where(shade, est_s[0], 0.0)
-    add_s_g[:] = emi[1] + jnp.where(shade, est_s[1], 0.0)
-    add_s_b[:] = emi[2] + jnp.where(shade, est_s[2], 0.0)
-    alb_r[:] = alb[0]
-    alb_g[:] = alb[1]
-    alb_b[:] = alb[2]
-    ene_d[:] = ene[0]
-    ene_s[:] = ene[1]
-    depth_out[:] = depth
-    curv_out[:] = curv
-    oid_out[:] = oid
+    return (
+        emi[0] + jnp.where(shade, est_d[0], 0.0),
+        emi[1] + jnp.where(shade, est_d[1], 0.0),
+        emi[2] + jnp.where(shade, est_d[2], 0.0),
+        emi[0] + jnp.where(shade, est_s[0], 0.0),
+        emi[1] + jnp.where(shade, est_s[1], 0.0),
+        emi[2] + jnp.where(shade, est_s[2], 0.0),
+        alb[0], alb[1], alb[2], ene[0], ene[1], depth, curv, oid,
+    )
+
+
+def _frame_kernel(
+    *refs,
+    counts, nK, gloss, width, height, fov, block_rows, soft_beta,
+):
+    in_refs, out_refs = refs[:20], refs[20:]
+    # Refs go into frame_block directly: scalar reads like planes_ref[i, k]
+    # stay scalar-register loads. Materializing the tables with ref[:] first
+    # turns every scene scalar into a vector extract + lane broadcast, which
+    # costs ~1.8 MB of VMEM at 1080p — over the scoped-vmem cliff.
+    sc = dict(zip(SC_KEYS, in_refs[:17]))
+    cam_ref, orient_ref, frame_ref = in_refs[17:]
+    i = pl.program_id(0)
+    outs = frame_block(
+        sc, cam_ref, orient_ref, frame_ref[0, 0], i * block_rows,
+        counts=counts, nK=nK, gloss=gloss, width=width, height=height,
+        fov=fov, block_rows=block_rows, soft_beta=soft_beta,
+    )
+    for ref, val in zip(out_refs, outs):
+        ref[:] = val
+
+
+def small_operands(scene: Scene, camera, frame):
+    """The 20 small kernel operands (SC_KEYS order + cam, orient, frame).
+
+    Zero-row geometry tables (a scene with no boxes/planes) are padded to
+    one dummy row — Mosaic rejects 0-sized operands, and the static counts
+    mean the kernel never reads them. ops/frame_grad crops the matching
+    gradients back."""
+    mats = scene.materials
+
+    def pad1(a):
+        if a.shape[0]:
+            return a
+        return jnp.zeros((1,) + a.shape[1:], a.dtype)
+
+    col = lambda a: pad1(a.reshape(-1, 1))
+    row = lambda a: a.reshape(1, -1)
+    light_id = scene.sphere_ids[scene.light_index].reshape(1, 1)
+    return (
+        pad1(scene.planes), col(scene.plane_ids), pad1(scene.spheres),
+        col(scene.sphere_ids), pad1(scene.boxes), col(scene.box_ids),
+        row(scene.light_color), row(scene.light), light_id,
+        col(mats.s0), col(mats.s1), col(mats.freq), mats.alb_const,
+        mats.alb_scale, mats.emission, mats.en_const, mats.en_scale,
+        row(camera.loc), row(camera.orient),
+        jnp.asarray(frame, jnp.int32).reshape(1, 1),
+    )
 
 
 def frame_forward_pallas(
@@ -216,17 +258,13 @@ def frame_forward_pallas(
         height=H,
         fov=config.fov,
         block_rows=block_rows,
+        soft_beta=float(config.soft_shadows),
     )
 
     small = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     img = lambda: pl.BlockSpec(
         (block_rows, W), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-
-    mats = scene.materials
-    col = lambda a: a.reshape(-1, 1)
-    row = lambda a: a.reshape(1, -1)
-    light_id = scene.sphere_ids[scene.light_index].reshape(1, 1)
 
     f32 = jax.ShapeDtypeStruct((Hp, W), jnp.float32)
     i32 = jax.ShapeDtypeStruct((Hp, W), jnp.int32)
@@ -237,16 +275,18 @@ def frame_forward_pallas(
         in_specs=[small() for _ in range(20)],
         out_specs=[img() for _ in range(14)],
         out_shape=[f32] * 13 + [i32],
+        # The shade core keeps many live full-width planes per block; the
+        # conservative default 16 MB scoped-vmem cap is too tight at 1080p.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(
-        scene.planes, col(scene.plane_ids), scene.spheres,
-        col(scene.sphere_ids), scene.boxes, col(scene.box_ids),
-        row(scene.light_color), row(scene.light), light_id,
-        col(mats.s0), col(mats.s1), col(mats.freq), mats.alb_const,
-        mats.alb_scale, mats.emission, mats.en_const, mats.en_scale,
-        row(camera.loc), row(camera.orient),
-        jnp.asarray(frame, jnp.int32).reshape(1, 1),
-    )
+    )(*small_operands(scene, camera, frame))
+    return assemble_planes(outs, H)
+
+
+def assemble_planes(outs, H):
+    """14 (Hp, W) planes → the frame dict, rows cropped to H."""
     crop = lambda a: a[:H]
     return {
         "add_d": jnp.stack([crop(o) for o in outs[0:3]], axis=-1),
@@ -257,3 +297,24 @@ def frame_forward_pallas(
         "curv": crop(outs[12]),
         "oid": crop(outs[13]),
     }
+
+
+def frame_forward_jnp(scene: Scene, camera, frame, config: RenderConfig):
+    """`frame_block` over the whole image as plain jnp — the fused kernel's
+    math without Pallas. Test oracle (no interpret-mode overhead) and the
+    gradient reference the backward kernel is checked against."""
+    H, W = config.height, config.width
+    ops = small_operands(scene, camera, frame)
+    sc = dict(zip(SC_KEYS, ops[:17]))
+    counts = (
+        int(scene.planes.shape[0]),
+        int(scene.spheres.shape[0]),
+        int(scene.boxes.shape[0]),
+    )
+    outs = frame_block(
+        sc, ops[17], ops[18], ops[19][0, 0], jnp.int32(0),
+        counts=counts, nK=int(scene.materials.s0.shape[0]),
+        gloss=config.gloss, width=W, height=H, fov=config.fov,
+        block_rows=H, soft_beta=float(config.soft_shadows),
+    )
+    return assemble_planes(outs, H)

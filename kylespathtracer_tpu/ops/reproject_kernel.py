@@ -200,6 +200,12 @@ def reproject_pallas(
             in_specs=in_specs,
             out_specs=[img() for _ in range(4)],
             out_shape=[f32] * 4,
+            # The 22 full-width row-block operands sit right at the default
+            # 16 MB scoped-vmem limit at 1080p; raise the per-kernel cap
+            # (v5e has far more physical VMEM than the conservative default).
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
             interpret=interpret,
         )(
             ho_p, pad_rows(dyrel), pad_rows(dxrel),

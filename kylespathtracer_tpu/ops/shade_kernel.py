@@ -14,6 +14,14 @@ common.glsl:430-616) — but as a single TPU kernel per row block:
 
 The math mirrors render/mis.py term for term; `interpret=True` runs the
 same kernel on CPU for tests.
+
+Gradient safety: this module is also the body the backward frame kernel
+differentiates (ops/frame_grad.py) — `jax.vjp` of the same component-plane
+code runs inside a second Pallas kernel. Every `sqrt`/`rsqrt` whose argument
+can reach exactly 0 on a *masked* lane is therefore clamped away from 0:
+`where(valid, f(sqrt(x)), 0)` back-propagates `0 · sqrt'(0) = 0 · inf = NaN`
+without the clamp. The clamps (1e-12 / 1e-20) only move values on lanes the
+validity masks already reject.
 """
 
 from __future__ import annotations
@@ -105,7 +113,7 @@ def _cone_dir(lv, lr, pre):
     degenerate-safe."""
     su1, ct, st, _ = pre
     d2 = _dot(lv, lv)
-    d = jnp.sqrt(d2)
+    d = jnp.sqrt(jnp.maximum(d2, 1e-20))
     x = jnp.clip(lr / jnp.maximum(d, 1e-12), gmath.EPS, gmath.IEPS)
     rad = su1 * x * jax.lax.rsqrt(1.0 - x * x)
     nlv = _normalize(lv)
@@ -119,7 +127,8 @@ def _cone_dir(lv, lr, pre):
 
 
 def _solid_angle(d2, r2):
-    return (1.0 - jnp.sqrt(1.0 - jnp.clip(r2 / jnp.maximum(d2, 1e-24), 0.0, 1.0))) * gmath.TWOPI
+    inner = 1.0 - jnp.clip(r2 / jnp.maximum(d2, 1e-24), 0.0, 1.0)
+    return (1.0 - jnp.sqrt(jnp.maximum(inner, 1e-12))) * gmath.TWOPI
 
 
 def _schlick(r1, r2, vn):
@@ -177,7 +186,7 @@ def _trace(sc, ro, rd, excl, nP, nS, nB):
         b = _dot(oc, rd)
         c2 = _dot(oc, oc) - r * r
         disc = b * b - c2
-        t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+        t = -b - jnp.sqrt(jnp.maximum(disc, 1e-12))
         consider(t, sc["sphere_ids"][s, 0], disc > 0)
 
     for bx in range(nB):
@@ -210,7 +219,7 @@ def _trace(sc, ro, rd, excl, nP, nS, nB):
                     b = oi * d[i] + oj * d[j]
                     cq = oi * oi + oj * oj - rnd * rnd
                     disc = b * b - a * cq
-                    t = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / a
+                    t = (-b - jnp.sqrt(jnp.maximum(disc, 1e-12))) / a
                     pk = o[k] + d[k] * t
                     consider(
                         t, oid,
@@ -231,7 +240,7 @@ def _trace(sc, ro, rd, excl, nP, nS, nB):
                     b = _dot(oc, d)
                     cq = _dot(oc, oc) - rnd * rnd
                     disc = b * b - cq
-                    t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+                    t = -b - jnp.sqrt(jnp.maximum(disc, 1e-12))
                     consider(
                         t, oid,
                         (disc > 0)
@@ -290,7 +299,10 @@ def _plane_pdf_lambert(sc, p, hl, pre):
     dv = (d[0] - hl[0], d[1] - hl[1], d[2] - hl[2])
     ld = (lx - d[0], ly - d[1], lz - d[2])
     dv2 = _dot(dv, dv)
-    frad = jnp.minimum(jnp.sqrt(dv2), jnp.sqrt(_dot(ld, ld))) * 0.9
+    frad = jnp.minimum(
+        jnp.sqrt(jnp.maximum(dv2, 1e-20)),
+        jnp.sqrt(jnp.maximum(_dot(ld, ld), 1e-20)),
+    ) * 0.9
     dir_ = _cone_dir(dv, frad, pre)
     lpdf = _solid_angle(dv2, frad * frad) / gmath.PI
     g2 = jnp.maximum(gmath.EPS, -(dir_[0] * n[0] + dir_[1] * n[1] + dir_[2] * n[2]))
@@ -315,9 +327,9 @@ def _plane_pdf_phong(sc, p, hl, pre):
     )
     sv = _sub(s, hl)
     sv2 = _dot(sv, sv)
-    lsv = jnp.sqrt(sv2) * lr
+    lsv = jnp.sqrt(jnp.maximum(sv2, 1e-20)) * lr
     ls = (lx - s[0], ly - s[1], lz - s[2])
-    lsn = jnp.sqrt(_dot(ls, ls))
+    lsn = jnp.sqrt(jnp.maximum(_dot(ls, ls), 1e-20))
     ts = _scale(sv, lsn)
     dir_ = _cone_dir(ts, lsv, pre)
     lpdf = _solid_angle(_dot(ts, ts), lsv * lsv) / gmath.PI
@@ -397,24 +409,65 @@ def _roulette(sc, counts, dirs, ws, hl, ho, pre, energy_channel, nP):
 
 # ----------------------------------------------------------- shade core
 
-def _shade_core(sc, counts, nK, gloss, hn, rd, ho, hl, seed):
+def _soft_transmittance(sc, nS, hl, dl_dir, t_surf, ho, beta: float):
+    """Component form of diff/softvis.sphere_soft_transmittance: smooth
+    visibility Π_spheres σ(sd_i/(β·t_i)) along the shadow ray, skipping the
+    light and the shaded object itself."""
+    trans = jnp.ones_like(hl[0])
+    light_id = sc["light_id_arr"][0, 0]
+    for s in range(nS):
+        c = (sc["spheres"][s, 0], sc["spheres"][s, 1], sc["spheres"][s, 2])
+        r = sc["spheres"][s, 3]
+        oc = _sub(c, hl)
+        tc = jnp.clip(_dot(oc, dl_dir), gmath.EPS, t_surf)
+        closest = (
+            hl[0] + dl_dir[0] * tc - c[0],
+            hl[1] + dl_dir[1] * tc - c[1],
+            hl[2] + dl_dir[2] * tc - c[2],
+        )
+        sd = jnp.sqrt(jnp.maximum(_dot(closest, closest), 1e-20)) - r
+        v = jax.nn.sigmoid(sd / (beta * tc))
+        skip = (sc["sphere_ids"][s, 0] == light_id) | (sc["sphere_ids"][s, 0] == ho)
+        trans = trans * jnp.where(skip, 1.0, v)
+    return trans
+
+
+def _shade_core(sc, counts, nK, gloss, hn, rd, ho, hl, seed, soft_beta=0.0):
     """Direct light + the four plane-strategy roulettes for both estimators
     (common.glsl:430-616) → (est_d, est_s) as 3-component lists, unmasked.
 
     Shared by the shade-only kernel below and the fused full-frame kernel
-    (ops/frame_kernel.py)."""
+    (ops/frame_kernel.py). `soft_beta > 0` (static) smooths the direct-light
+    sphere occlusion into a differentiable transmittance exactly like
+    render/mis.dual_mis with config.soft_shadows: the hard trace still gates
+    plane/box occlusion, only sphere silhouettes are softened."""
     lx, ly, lz, lr = _light_vec(sc)
     pre = _cone_pre(seed)
     lv = (lx - hl[0], ly - hl[1], lz - hl[2])
     dl_dir = _cone_dir(lv, lr, pre)
     dl_pdf = _solid_angle(_dot(lv, lv), lr * lr)
-    lhit = _light_hit_mask(sc, counts, hl, ho, dl_dir)
+    _, vis_id = _trace(sc, hl, dl_dir, ho, *counts)
     lam_w = jnp.maximum(gmath.EPS, _dot(dl_dir, hn))
     refl = _reflect(rd, hn)
     pho_w = _powi(jnp.maximum(gmath.EPS, _dot(dl_dir, refl)), int(gloss))
 
-    est_d = [jnp.where(lhit, sc["light_color"][0, c] * dl_pdf * lam_w, 0.0) for c in range(3)]
-    est_s = [jnp.where(lhit, sc["light_color"][0, c] * dl_pdf * pho_w, 0.0) for c in range(3)]
+    if soft_beta > 0.0:
+        nS = counts[1]
+        dist = jnp.sqrt(jnp.maximum(_dot(lv, lv), 1e-20))
+        t_surf = jnp.maximum(dist - lr, gmath.EPS)
+        trans = _soft_transmittance(sc, nS, hl, dl_dir, t_surf, ho, soft_beta)
+        # Nearest shadow-ray hit must be a sphere (incl. the light) for the
+        # smooth transmittance to apply; plane/box occlusion stays hard
+        # (render/mis.py dual_mis soft branch).
+        sol = jnp.zeros_like(ho, dtype=jnp.bool_)
+        for s in range(nS):
+            sol = sol | (vis_id == sc["sphere_ids"][s, 0])
+        vis = jnp.where(sol, trans, 0.0)
+    else:
+        vis = (vis_id == sc["light_id_arr"][0, 0]).astype(hl[0].dtype)
+
+    est_d = [sc["light_color"][0, c] * (vis * dl_pdf * lam_w) for c in range(3)]
+    est_s = [sc["light_color"][0, c] * (vis * dl_pdf * pho_w) for c in range(3)]
 
     nP = counts[0]
     dirs_l, wpdf_l, dirs_p, wpdf_p = [], [], [], []
@@ -460,7 +513,7 @@ def _shade_kernel(
     hn_x_ref, hn_y_ref, hn_z_ref, ho_ref, depth_ref,
     rd_x_ref, rd_y_ref, rd_z_ref, seed_ref,
     d_r_ref, d_g_ref, d_b_ref, s_r_ref, s_g_ref, s_b_ref,
-    *, counts, nK, gloss,
+    *, counts, nK, gloss, soft_beta=0.0,
 ):
     nP, nS, nB = counts
     sc = {
@@ -496,7 +549,9 @@ def _shade_kernel(
         cam[2] + rd[2] * depth,
     )
 
-    est_d, est_s = _shade_core(sc, counts, nK, gloss, hn, rd, ho, hl, seed)
+    est_d, est_s = _shade_core(
+        sc, counts, nK, gloss, hn, rd, ho, hl, seed, soft_beta=soft_beta
+    )
 
     # Mask non-shaded pixels (light and misses), as the passes do.
     shade = (ho != sc["light_id_arr"][0, 0]) & (ho > 0)
@@ -541,7 +596,8 @@ def dual_mis_pallas(
     nK = int(scene.materials.s0.shape[0])
 
     kernel = functools.partial(
-        _shade_kernel, counts=counts, nK=nK, gloss=config.gloss
+        _shade_kernel, counts=counts, nK=nK, gloss=config.gloss,
+        soft_beta=float(config.soft_shadows),
     )
 
     small = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)

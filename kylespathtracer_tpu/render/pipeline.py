@@ -74,19 +74,30 @@ def render_frame_fused(
     """The fast-path frame: one fused Pallas kernel (raygen + intersect +
     normals + dual-MIS shade + primary material) plus the XLA reprojection
     gather and composite. Numerically equivalent to the unfused frame with
-    intersect_mode="analytic", normal_mode="analytic"; forward-only
-    (gradients use the unfused pipeline)."""
+    intersect_mode="analytic", normal_mode="analytic". Differentiable: the
+    kernel carries a custom VJP whose backward is a second Pallas kernel
+    (ops/frame_grad.py) — gradients no longer need the slow XLA pipeline."""
     import jax as _jax
 
     from kylespathtracer_tpu.core import gmath
-    from kylespathtracer_tpu.ops import frame_kernel as fk
+    from kylespathtracer_tpu.ops import frame_grad as fg
     from kylespathtracer_tpu.render import camera as cam_mod
     from kylespathtracer_tpu.render import reproject as rep_mod
     from kylespathtracer_tpu.render.passes import Channel, _temporal_clamp
 
     interpret = _jax.default_backend() != "tpu"
-    out = fk.frame_forward_pallas(scene, camera, frame, config, interpret=interpret)
+    out = fg.frame_forward(scene, camera, frame, config, interpret=interpret)
     ho = out["oid"]
+
+    if config.no_history:
+        # Fresh-history single-frame render (the differentiable single-frame
+        # forward): reprojecting an all-zero history is pure waste — skip the
+        # gather and the temporal clamp (numerically identical; passes.py).
+        ones = jnp.ones(ho.shape, jnp.float32)
+        d = Channel(rgb=out["add_d"], cnt=ones, oid=ho)
+        s = Channel(rgb=out["add_s"], cnt=ones, oid=ho)
+        image = comp_mod.composite_from(out["alb"], out["ene"], d, s, config)
+        return image, History(diffuse=d, specular=s, camera=camera)
 
     # Hit point + curvature-pushed specular anchor (specular.frag:45-49).
     rd = cam_mod.ray_dirs(camera, config.width, config.height, config.fov)
