@@ -86,6 +86,14 @@ def cmd_pathtrace(args):
         image_io.save_png(args.out, img)
 
 
+def cmd_fly(args):
+    """Interactive fly-cam over the terminal (reference: main.cpp:328-357)."""
+    from kylespathtracer_tpu.app import fly as fly_mod
+
+    config = _config_from(args)
+    fly_mod.fly(config=config, fps=args.fps, max_w=args.cols, max_h=args.rows)
+
+
 def cmd_info(args):
     import jax
 
@@ -155,6 +163,15 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=25)
     p.set_defaults(fn=cmd_invert)
+
+    p = sub.add_parser("fly", help="interactive fly-cam (wasd/arrows, ANSI preview)")
+    _add_size(p, w=480, h=270)
+    p.add_argument("--fps", type=float, default=20.0)
+    p.add_argument("--cols", type=int, default=100, help="preview width in cells")
+    p.add_argument("--rows", type=int, default=48, help="preview height in cells")
+    p.add_argument("--fused", action="store_true",
+                   help="fused Pallas frame pipeline (TPU fast path)")
+    p.set_defaults(fn=cmd_fly)
 
     p = sub.add_parser("info", help="backend / device / native-lib status")
     p.set_defaults(fn=cmd_info)

@@ -131,3 +131,41 @@ def test_terminal_preview_ansi():
     tp.show(img, caption="f0")
     tp.show(img, caption="f1")
     assert "f1" in buf.getvalue()
+
+
+def test_fly_parse_keys():
+    from kylespathtracer_tpu.app.fly import ARROW_PX, parse_keys
+
+    move, look, q = parse_keys(b"w")
+    assert move == [0.0, 0.0, 1.0] and look == [0.0, 0.0] and not q
+    move, look, q = parse_keys(b"wd \x1b[C\x1b[A")
+    assert move == [1.0, 1.0, 1.0]
+    assert look == [ARROW_PX, -ARROW_PX]
+    move, look, q = parse_keys(b"ss")  # repeats clamp to unit intent
+    assert move[2] == -1.0
+    assert parse_keys(b"q")[2] and parse_keys(b"\x1b")[2]
+    assert not parse_keys(b"\x1b[D")[2]  # arrow is not quit
+
+
+def test_fly_step_moves_camera():
+    """One fly step: key intent moves the camera and renders a frame."""
+    import jax.numpy as jnp
+
+    from kylespathtracer_tpu.app.controller import ControllerState, InputFrame
+    from kylespathtracer_tpu.app.fly import fly_step, parse_keys
+    from kylespathtracer_tpu.render.pipeline import init_history
+    from kylespathtracer_tpu.scene import default_scene
+    from kylespathtracer_tpu.utils.config import RenderConfig
+
+    cfg = RenderConfig(width=32, height=24)
+    scene = default_scene()
+    state = ControllerState.create()
+    hist = init_history(cfg, state.camera)
+    step = fly_step(cfg)
+    move, look, _ = parse_keys(b"w")
+    inp = InputFrame.create(move=move, mouse_delta=look)
+    state2, img, hist = step(scene, state, inp, hist, jnp.asarray(0, jnp.int32))
+    assert img.shape == (24, 32, 3)
+    assert bool(jnp.isfinite(img).all())
+    # Forward intent at yaw 1.8 moved the camera in world space.
+    assert float(jnp.linalg.norm(state2.loc - state.loc)) > 0.0
