@@ -24,6 +24,10 @@ from kylespathtracer_tpu.utils.config import RenderConfig
 
 Params = dict[str, Any]
 
+# Frame index where target-realization seeds start (seed-paired fitting —
+# see `fit`): far from the 0..steps frames ordinary fitting consumes.
+SEED_BASE = 1000
+
 
 def extract_params(scene: Scene, keys=("spheres", "alb_const")) -> Params:
     """Pull the trainable leaves out of a scene."""
@@ -72,9 +76,48 @@ def render_once(scene: Scene, camera: Camera, config: RenderConfig,
 def loss_fn(params: Params, scene: Scene, camera: Camera,
             target: jnp.ndarray, frame: jnp.ndarray,
             config: RenderConfig) -> jnp.ndarray:
-    """MSE in tonemapped sRGB space against the target image."""
-    img = render_once(apply_params(scene, params), camera, config, frame)
+    """MSE in tonemapped sRGB space against the target image.
+
+    Multi-view: a 4-D target [V,H,W,3] with a stacked camera pytree (leaves
+    with leading [V]) averages the per-view MSE — silhouette/depth
+    ambiguities of a single view (sphere z vs radius) disappear with 2-3
+    baselines."""
+    sc = apply_params(scene, params)
+    if target.ndim == 4:
+        # Static unroll over views (V is small): keeps the fused Pallas
+        # frame usable (no vmap over pallas_call / custom_vjp needed).
+        losses = [
+            jnp.mean(
+                (
+                    render_once(
+                        sc, jax.tree_util.tree_map(lambda l: l[v], camera),
+                        config, frame,
+                    )
+                    - target[v]
+                ) ** 2
+            )
+            for v in range(int(target.shape[0]))
+        ]
+        return jnp.mean(jnp.stack(losses))
+    img = render_once(sc, camera, config, frame)
     return jnp.mean((img - target) ** 2)
+
+
+def stack_cameras(cams: list[Camera]) -> Camera:
+    """List of cameras → one stacked pytree (leaves gain a leading axis)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+
+
+def look_at(loc, at) -> Camera:
+    """Camera at `loc` facing the point `at` (forward = rotate_xy(+z)):
+    pitch = asin(d.y), yaw = atan2(d.x, d.z)."""
+    import numpy as np
+
+    d = np.asarray(at, np.float32) - np.asarray(loc, np.float32)
+    d = d / max(float(np.linalg.norm(d)), 1e-8)
+    return Camera.create(
+        loc=loc, orient=(float(np.arcsin(d[1])), float(np.arctan2(d[0], d[2])))
+    )
 
 
 def fit(
@@ -86,25 +129,55 @@ def fit(
     steps: int = 200,
     lr: float = 2e-2,
     vary_seed: bool = True,
+    opt=None,
+    opt_state=None,
+    return_state: bool = False,
 ):
-    """Adam-descend scene params to match `target`; returns (scene, losses)."""
+    """Adam-descend scene params to match `target`; returns (scene, losses).
+
+    Pass `opt`/`opt_state` to continue an optimizer across calls (the β
+    continuation in run_recovery): resetting Adam's moments each phase lets
+    the first post-reset steps random-walk weakly-constrained parameters
+    (albedo) by ~lr per step until the second moment re-calibrates."""
     params = extract_params(scene0, keys)
-    # Cosine-decayed Adam: large early steps to cross plateaus, small late
-    # steps so the Monte-Carlo gradient noise (vary_seed) averages out.
-    opt = optax.adam(optax.cosine_decay_schedule(lr, max(steps, 1), alpha=0.05))
-    opt_state = opt.init(params)
+    if opt is None:
+        # Cosine-decayed Adam: large early steps to cross plateaus, small
+        # late steps so the MC gradient noise (vary_seed) averages out.
+        opt = optax.adam(
+            optax.cosine_decay_schedule(lr, max(steps, 1), alpha=0.05)
+        )
+    if opt_state is None:
+        opt_state = opt.init(params)
 
     # The whole optimization is ONE lax.scan under ONE jit: a per-step
     # Python loop pays a device round trip per step (dominant on a tunneled
     # TPU) and a separate compile for the step; the scan compiles once and
     # runs device-resident end to end.
+    # Seed-paired matching: a 5-D target [V, S, H, W, 3] holds S target
+    # REALIZATIONS per view, rendered at frames SEED_BASE..SEED_BASE+S-1.
+    # Step i renders with frame SEED_BASE + (i mod S) and matches the target
+    # realization of the SAME seed, so at the true parameters the residual
+    # is exactly zero for every seed. Matching a fixed (even averaged)
+    # target with varying seeds instead makes the descent minimize
+    # E[(X_θ-t)²] = (E[X_θ]-t)² + Var(X_θ): the variance-gradient term
+    # pushes parameters toward low-variance configurations — measurably
+    # dragging sphere positions/albedos off the optimum near sharp shadows.
+    paired = target.ndim == 5
+    n_seeds = int(target.shape[1]) if paired else 0
+
     @jax.jit
     def run(params, opt_state, scene0, camera, target):
         def body(carry, i):
             params, opt_state = carry
-            frame = i if vary_seed else jnp.asarray(0, jnp.int32)
+            if paired:
+                s = jnp.mod(i, n_seeds)
+                frame = SEED_BASE + s
+                tgt = target[:, s]
+            else:
+                frame = i if vary_seed else jnp.asarray(0, jnp.int32)
+                tgt = target
             loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
-                params, scene0, camera, target, frame, config
+                params, scene0, camera, tgt, frame, config
             )
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -113,28 +186,56 @@ def fit(
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state), jnp.arange(steps, dtype=jnp.int32)
         )
-        return params, losses
+        return params, opt_state, losses
 
-    params, losses = run(params, opt_state, scene0, camera, target)
+    params, opt_state, losses = run(params, opt_state, scene0, camera, target)
     losses = [float(l) for l in jax.device_get(losses)]
-    return apply_params(scene0, params), losses
+    fitted = apply_params(scene0, params)
+    if return_state:
+        return fitted, losses, opt_state
+    return fitted, losses
+
+
+def _param_errors(scene_gt: Scene, fitted: Scene) -> dict:
+    gt_p = extract_params(scene_gt)
+    fit_p = extract_params(fitted)
+    # Ignore the light row (index 0) when scoring sphere recovery.
+    return {
+        "err_position": float(
+            jnp.abs(fit_p["spheres"][1:, :3] - gt_p["spheres"][1:, :3]).mean()
+        ),
+        "err_radius": float(
+            jnp.abs(fit_p["spheres"][1:, 3] - gt_p["spheres"][1:, 3]).mean()
+        ),
+        "err_albedo": float(
+            jnp.abs(fit_p["alb_const"] - gt_p["alb_const"]).mean()
+        ),
+    }
 
 
 def run_recovery(
     num_spheres: int = 10,
-    steps: int = 200,
-    width: int = 128,
-    height: int = 96,
-    lr: float = 1e-2,
+    steps: int = 400,
+    width: int = 192,
+    height: int = 128,
+    lr: float = 2e-2,
     seed: int = 0,
     log_every: int = 0,
     perturb: float = 0.35,
-    soft_shadows: float = 0.05,
+    betas: tuple = (0.05, 0.02, 0.008, 0.003),
+    views: int = 3,
 ):
     """The BASELINE north-star demo: recover an N-sphere scene's positions,
     radii and albedos from rendered targets, starting from a perturbed copy.
 
-    Returns a dict of initial/final loss and parameter errors.
+    Three ingredients close the gap to "recovered" (round-2 verdict):
+    * β continuation: soft-shadow smoothing (diff/softvis.py) is annealed
+      over phases — wide β early crosses silhouette plateaus, small β late
+      approaches the hard render, and each phase's targets are re-rendered
+      at its β so the optimum of every phase is the ground-truth scene.
+    * Multi-view targets: `views` cameras on an arc remove the single-view
+      depth/radius ambiguity.
+    * Per-phase error traces in the returned dict.
     """
     import numpy as np
 
@@ -151,41 +252,100 @@ def run_recovery(
     )
     radii = rng.uniform(0.4, 0.9, num_spheres)
     albedos = rng.uniform(0.2, 0.9, (num_spheres, 3))
-
     scene_gt = sphere_scene(centers, radii, albedos)
-    # Soft shadows give the occluders silhouette gradients (diff/softvis.py);
-    # the target is rendered with the same β so recovery is self-consistent.
-    config = RenderConfig(width=width, height=height, soft_shadows=soft_shadows)
-    camera = Camera.create(loc=(0.0, 2.5, -2.0), orient=(0.15, 0.0))
-    target = render_once(scene_gt, camera, config, jnp.asarray(0, jnp.int32))
+
+    # Cameras on an arc around the sphere cloud's center, alternating two
+    # heights for vertical parallax (position-z vs radius disambiguation).
+    mid = centers.mean(axis=0)
+    cam_list = [
+        look_at(
+            (
+                float(mid[0]) + 9.0 * np.sin(a),
+                2.5 if i % 2 == 0 else 4.5,
+                float(mid[2]) - 9.0 * np.cos(a),
+            ),
+            (float(mid[0]), float(mid[1]), float(mid[2])),
+        )
+        for i, a in enumerate(np.linspace(-0.7, 0.7, views))
+    ]
+    cameras = stack_cameras(cam_list)  # leading [V] axis, even for V=1
 
     # Perturbed start: geometry jittered, albedos reset to gray.
-    scene0 = sphere_scene(
+    scene_i = sphere_scene(
         centers + rng.normal(0, perturb, centers.shape),
         np.clip(radii + rng.normal(0, perturb * 0.3, radii.shape), 0.2, 1.2),
         np.full_like(albedos, 0.5),
     )
 
-    fitted, losses = fit(scene0, target, camera, config, steps=steps, lr=lr)
-    loss0 = losses[0]  # pre-update loss of the perturbed start
-    if log_every:
-        for i in range(0, len(losses), log_every):
-            print(f"step {i}: loss {losses[i]:.3e}")
+    frame0 = jnp.asarray(0, jnp.int32)
+    # Weight steps toward the sharp-β phases: the wide-β phases only need to
+    # cross silhouette plateaus; the precision comes late.
+    w = np.linspace(1.0, 1.6, len(betas))
+    phase_steps_all = [max(1, int(steps * wi / w.sum())) for wi in w]
+    total_steps = sum(phase_steps_all)
 
-    gt_p = extract_params(scene_gt)
-    fit_p = extract_params(fitted)
-    # Ignore the light row (index 0) when scoring sphere recovery.
-    err_pos = float(
-        jnp.abs(fit_p["spheres"][1:, :3] - gt_p["spheres"][1:, :3]).mean()
+    # ONE optimizer across all phases: per-phase Adam restarts let the first
+    # post-reset steps random-walk weakly-constrained parameters (albedo
+    # drifted 3x across phases before this). Global-norm clipping tames the
+    # sigmoid silhouette gradient spikes at small β (grad ∝ 1/(β·t)).
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(
+            optax.cosine_decay_schedule(lr, max(total_steps, 1), alpha=0.03)
+        ),
     )
-    err_rad = float(jnp.abs(fit_p["spheres"][1:, 3] - gt_p["spheres"][1:, 3]).mean())
-    err_alb = float(jnp.abs(fit_p["alb_const"] - gt_p["alb_const"]).mean())
+    opt_state = None
+    # The fused Pallas pipeline carries its own backward kernel
+    # (ops/frame_grad.py) — ~40x faster fwd+bwd than the XLA pass path and
+    # far cheaper to compile per β phase. CPU keeps the XLA path (interpret
+    # mode is too slow for a fit loop).
+    pipeline = "fused" if jax.default_backend() == "tpu" else "pass"
+    all_losses: list[float] = []
+    trace = []
+    for phase, beta in enumerate(betas):
+        config = RenderConfig(
+            width=width, height=height, soft_shadows=float(beta),
+            pipeline=pipeline,
+        )
+        # Seed-paired target realizations [V, S, H, W, 3] (see `fit`): step i
+        # renders with the same seed as the target slice it matches, so the
+        # optimum is exactly the ground-truth parameters — no Monte-Carlo
+        # noise floor and no variance-gradient drift.
+        n_seeds = 16
+
+        @jax.jit
+        def render_seeds(cam):
+            def body(k, acc):
+                img = render_once(
+                    scene_gt, cam, config,
+                    jnp.asarray(SEED_BASE, jnp.int32) + k,
+                )
+                return acc.at[k].set(img)
+            z = jnp.zeros((n_seeds, height, width, 3), jnp.float32)
+            return jax.lax.fori_loop(0, n_seeds, body, z)
+
+        target = jnp.stack([
+            render_seeds(jax.tree_util.tree_map(lambda l: l[v], cameras))
+            for v in range(views)
+        ])
+        scene_i, losses, opt_state = fit(
+            scene_i, target, cameras, config, steps=phase_steps_all[phase],
+            opt=opt, opt_state=opt_state, return_state=True,
+        )
+        all_losses.extend(losses)
+        errs = _param_errors(scene_gt, scene_i)
+        trace.append({"beta": float(beta), "loss": losses[-1], **errs})
+        if log_every:
+            print(f"phase {phase} (beta={beta}): loss {losses[-1]:.3e} {errs}")
+
     return {
-        "loss_initial": loss0,
-        "loss_final": losses[-1],
-        "err_position": err_pos,
-        "err_radius": err_rad,
-        "err_albedo": err_alb,
+        "loss_initial": all_losses[0],
+        "loss_final": all_losses[-1],
+        **_param_errors(scene_gt, scene_i),
+        "phases": trace,
+        "views": views,
+        "resolution": f"{width}x{height}",
+        "steps": sum(phase_steps_all),
     }
 
 
