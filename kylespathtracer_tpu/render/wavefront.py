@@ -44,9 +44,28 @@ def _surface_normal(scene: Scene, p: jnp.ndarray) -> jnp.ndarray:
     The sum-trick gives per-point gradients of the pointwise distance field
     in one reverse pass; for planes/spheres/boxes this is the analytic
     normal (vs the reference's 4-tap tetrahedron, common.glsl:276-281).
+    Kept as the oracle; the integrator uses the cheaper per-primitive
+    closed form below (`_hit_normal`) by default.
     """
     g = jax.grad(lambda q: jnp.sum(sdf_mod.sdf_dist(scene, q)))(p)
     return gmath.normalize(g)
+
+
+def _hit_normal(scene: Scene, p, oid, config: RenderConfig) -> jnp.ndarray:
+    """Surface normal at hit points, selected per primitive by object id
+    (scene/normals.py) — one where-chain instead of differentiating the
+    whole scene SDF at every bounce (~3x fewer flops per vertex; identical
+    values on the surface). config.normal_mode='tetra' keeps the SDF
+    gradient for oracle parity."""
+    if config.normal_mode == "tetra":
+        return _surface_normal(scene, p)
+    from kylespathtracer_tpu.scene import normals as nrm_mod
+
+    n, _ = nrm_mod.normal_curv(scene, p, oid)
+    # Misses (oid 0) have no primitive: keep a finite unit placeholder.
+    bad = gmath.dot(n, n) < 0.5
+    up = jnp.zeros_like(n).at[..., 1].set(1.0)
+    return jnp.where(bad[..., None], up, n)
 
 
 def _sample_light(scene: Scene, hl, u1, u2):
@@ -129,7 +148,7 @@ def trace_sample(scene: Scene, ro, rd, px, py, config: RenderConfig,
         hit = (oid != 0) & state["alive"]
         hl = ro + rd * t[..., None]
 
-        n_geo = _surface_normal(scene, hl)
+        n_geo = _hit_normal(scene, hl, oid, config)
         into = gmath.dot(rd, n_geo) < 0.0
         n = jnp.where(into[..., None], n_geo, -n_geo)
         wo = -rd
