@@ -154,10 +154,13 @@ def _powi(x, n: int):
 
 # ----------------------------------------------------------- intersection
 
-def _trace(sc, ro, rd, excl, nP, nS, nB):
+def _trace(sc, ro, rd, excl, nP, nS, nB, inside_hits=False):
     """Nearest hit → (t, oid): analytic planes/spheres + closed-form rounded
     boxes, component form of scene/intersect.py. `sc` is a dict of small
-    scene refs; nP/nS/nB static counts."""
+    scene refs; nP/nS/nB static counts. `inside_hits` (static): rays that
+    start inside a sphere hit its far surface instead of missing — the
+    path kernel's dielectric continuation rays
+    (scene/intersect._sphere_hits)."""
     best_t = jnp.full_like(ro[0], _INF)
     best_id = jnp.zeros_like(excl)
 
@@ -186,7 +189,10 @@ def _trace(sc, ro, rd, excl, nP, nS, nB):
         b = _dot(oc, rd)
         c2 = _dot(oc, oc) - r * r
         disc = b * b - c2
-        t = -b - jnp.sqrt(jnp.maximum(disc, 1e-12))
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
+        t = -b - sq
+        if inside_hits:
+            t = jnp.where(t > 0, t, -b + sq)
         consider(t, sc["sphere_ids"][s, 0], disc > 0)
 
     for bx in range(nB):

@@ -64,6 +64,12 @@ class RenderConfig:
     #   "xla"    — exact arbitrary-motion gather (slow on TPU)
     reproject_backend: str = "window"
     reproject_window: int = 8
+    # Wavefront integrator backend:
+    #   "auto"   — fused Pallas path kernel on TPU (ops/path_kernel.py),
+    #              XLA elsewhere
+    #   "pallas" — force the kernel (interpret mode off-TPU)
+    #   "xla"    — the lax.scan reference integrator (render/wavefront.py)
+    path_backend: str = "auto"
     # Single-frame fast path: treat the previous history as empty and skip
     # the reprojection gather + temporal clamp entirely. Numerically
     # identical to rendering against a fresh zero history (the gather of an
