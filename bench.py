@@ -210,12 +210,12 @@ def bench_wavefront(scene, camera, rtt, width=1920, height=1080, iters=5,
     fn = jax.jit(wf.render_pathtraced, static_argnames=("config",))
     try:
         t0 = time.perf_counter()
-        img = fn(scene, camera, jnp.asarray(0, jnp.int32), config)
+        img = fn(scene, camera, config, jnp.asarray(0, jnp.int32))
         _sync(img)
         compile_s = time.perf_counter() - t0
 
         def step(i):
-            return fn(scene, camera, jnp.asarray(i, jnp.int32), config)
+            return fn(scene, camera, config, jnp.asarray(i, jnp.int32))
 
         dt = _timed(step, lambda o: o, iters, rtt, "wavefront")
         segs = width * height * spp * depth
