@@ -146,6 +146,14 @@ def bench_forward(scene, camera, rtt, width=1920, height=1080, iters=30):
                 metric="fwd_frame_ms_1080p", pipeline=pipeline,
                 value=round(dt * 1e3, 2), compile_s=round(compile_s, 1),
             )
+            # Each pixel traces ~9 rays per frame (primary + direct-light
+            # visibility + 4 roulette plane marches + 4 light re-samples,
+            # SURVEY §3.2): the headline counts primaries only; this is the
+            # total traced-ray throughput.
+            stderr_json(
+                metric="traced_rays_per_s_1080p", pipeline=pipeline,
+                value=round(9 * width * height / dt, 1),
+            )
             return width * height / dt
         except Exception as e:  # pragma: no cover - fallback path
             stderr_json(metric="fwd_pipeline_error", pipeline=pipeline, error=str(e)[:200])
