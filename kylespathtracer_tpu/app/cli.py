@@ -124,8 +124,10 @@ def cmd_invert(args):
         lr=args.lr,
         seed=args.seed,
         log_every=args.log_every,
+        views=args.views,
+        betas=tuple(args.betas),
     )
-    print(json.dumps({k: float(v) for k, v in result.items()}))
+    print(json.dumps(result))
 
 
 def main(argv=None):
@@ -156,12 +158,17 @@ def main(argv=None):
     p.set_defaults(fn=cmd_pathtrace)
 
     p = sub.add_parser("invert", help="inverse rendering: recover a sphere scene")
-    _add_size(p, w=128, h=96)
+    _add_size(p, w=192, h=128)
     p.add_argument("--spheres", type=int, default=10)
-    p.add_argument("--steps", type=int, default=200)
-    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--steps", type=int, default=800)
+    p.add_argument("--lr", type=float, default=2e-2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=25)
+    p.add_argument("--views", type=int, default=5,
+                   help="look-at cameras on an arc (removes depth ambiguity)")
+    p.add_argument("--betas", type=float, nargs="+",
+                   default=[0.05, 0.02, 0.008, 0.003],
+                   help="soft-shadow continuation schedule")
     p.set_defaults(fn=cmd_invert)
 
     p = sub.add_parser("fly", help="interactive fly-cam (wasd/arrows, ANSI preview)")

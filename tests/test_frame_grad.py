@@ -124,6 +124,9 @@ def test_backward_kernel_matches_jnp_interpret():
         np.testing.assert_allclose(
             b, a, atol=1e-5 * (np.abs(a).max() + 1e-6), err_msg=name
         )
+    # Magnitude-scaled atol, not rtol: cross-block accumulation reorders the
+    # sum, so the smallest component carries ~1e-6 absolute noise.
+    a = np.asarray(g_ref[1].loc)
     np.testing.assert_allclose(
-        np.asarray(g_pal[1].loc), np.asarray(g_ref[1].loc), rtol=1e-4
+        np.asarray(g_pal[1].loc), a, atol=2e-5 * (np.abs(a).max() + 1e-6)
     )
