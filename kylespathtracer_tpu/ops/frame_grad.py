@@ -107,10 +107,11 @@ def frame_backward_pallas(
     """Run the backward kernel → tuple of gradients in DIFF_IDX order."""
     H, W = config.height, config.width
     if block_cols is None:
-        # Small blocks keep the VJP's live planes well inside VMEM: at
-        # (8, 512) one f32 plane is 16 KB, so even hundreds of live
-        # intermediates in the transposed jaxpr fit.
-        block_cols = min(512, _round_up(W, 128))
+        # Measured sweep at 1080p: (8,1024) 15.4 ms < (16,512) 15.5 <
+        # (8,1920) 16.2 < (8,512) 18.1; (16,1024) exceeds VMEM. One f32
+        # plane at (8,1024) is 32 KB, leaving room for the transposed
+        # jaxpr's live forward residuals under the 64 MB cap.
+        block_cols = min(1024, _round_up(W, 128))
     Hp = _round_up(H, block_rows)
     Wp = _round_up(W, block_cols)
 
