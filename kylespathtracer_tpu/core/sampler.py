@@ -108,14 +108,25 @@ def uniform_cone_dir(lv: jnp.ndarray, lr: jnp.ndarray, seed: jnp.ndarray = None,
     )
 
 
-def fold_seed(seed: jnp.ndarray, i) -> jnp.ndarray:
+def fold_seed(seed: jnp.ndarray, i, decorrelate: bool = False) -> jnp.ndarray:
     """Derive the i-th sample stream from a pixel seed.
 
-    The reference uses plain `seed + i` (common.glsl:437 etc.); kept as the
-    default for parity. Pass `decorrelate=True` call sites a hashed stream
-    instead when quality matters more than parity.
+    The reference uses plain `seed + i` (common.glsl:437 etc.), kept as the
+    default for parity — and measured to be the BETTER estimator: adjacent
+    seeds stride the Weyl lattice, so the i samples form a short
+    low-discrepancy progression (QMC-style stratification). PCG-hashing
+    the (seed, i) pair (`decorrelate=True`, config.decorrelate_samples)
+    yields independent plain-MC streams instead: at SMP_*=4 the hashed
+    streams' frame MSE vs a 32-frame reference is 2.4x HIGHER (5.3e-4 vs
+    2.2e-4 at 48x32; tests/test_core.py). The option remains for variance
+    analysis; sample 0 is the identity in both modes.
     """
-    return seed + jnp.asarray(i, jnp.int32)
+    if not decorrelate or (isinstance(i, int) and i == 0):
+        return seed + jnp.asarray(i, jnp.int32)
+    mixed = seed.astype(jnp.uint32) ^ (
+        jnp.asarray(i, jnp.uint32) * jnp.uint32(0x9E3779B9)
+    )
+    return pcg_hash(mixed).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------

@@ -210,7 +210,7 @@ def dual_mis(scene: Scene, trace, rd, hl, hn, ho, seed, config):
     est_d = jnp.zeros(hl.shape, hl.dtype)
     est_s = jnp.zeros(hl.shape, hl.dtype)
     for i in range(smp):
-        si = sampler.fold_seed(seed, i)
+        si = sampler.fold_seed(seed, i, config.decorrelate_samples)
         pre = sampler.cone_pre(si)
 
         # Direct-light cone sample (the visibility march is batched with the
@@ -332,7 +332,7 @@ def dmis(scene: Scene, trace, hl, hn, ho, seed, config):
     if config.smp_direct_lambert:
         acc = 0.0
         for i in range(config.smp_direct_lambert):
-            si = sampler.fold_seed(seed, i)
+            si = sampler.fold_seed(seed, i, config.decorrelate_samples)
             dl_dir, dl_pdf = sphere_light_pdf(hl, scene.light, si)
             wpdf = dl_pdf * gmath.lambertian(hn, dl_dir)
             acc += light_contribution(scene, trace, hl, ho, dl_dir, wpdf)
@@ -341,7 +341,7 @@ def dmis(scene: Scene, trace, hl, hn, ho, seed, config):
     if config.smp_lambert_surface_lambert:
         acc = 0.0
         for i in range(config.smp_lambert_surface_lambert):
-            si = sampler.fold_seed(seed, i)
+            si = sampler.fold_seed(seed, i, config.decorrelate_samples)
             acc += _roulette_planes(
                 scene, trace, lambert_plane_pdf, lam, hl, ho, si, 0
             )
@@ -350,7 +350,7 @@ def dmis(scene: Scene, trace, hl, hn, ho, seed, config):
     if config.smp_lambert_surface_phong:
         acc = 0.0
         for i in range(config.smp_lambert_surface_phong):
-            si = sampler.fold_seed(seed, i)
+            si = sampler.fold_seed(seed, i, config.decorrelate_samples)
             acc += _roulette_planes(
                 scene, trace, phong_plane_pdf, lam, hl, ho, si, 1
             )
@@ -372,7 +372,7 @@ def smis(scene: Scene, trace, rd, hl, hn, ho, seed, config):
     if config.smp_direct_phong:
         acc = 0.0
         for i in range(config.smp_direct_phong):
-            si = sampler.fold_seed(seed, i)
+            si = sampler.fold_seed(seed, i, config.decorrelate_samples)
             dl_dir, dl_pdf = sphere_light_pdf(hl, scene.light, si)
             wpdf = dl_pdf * gmath.phong(rd, hn, dl_dir, gloss)
             acc += light_contribution(scene, trace, hl, ho, dl_dir, wpdf)
@@ -381,7 +381,7 @@ def smis(scene: Scene, trace, rd, hl, hn, ho, seed, config):
     if config.smp_phong_surface_lambert:
         acc = 0.0
         for i in range(config.smp_phong_surface_lambert):
-            si = sampler.fold_seed(seed, i)
+            si = sampler.fold_seed(seed, i, config.decorrelate_samples)
             acc += _roulette_planes(
                 scene, trace, lambert_plane_pdf, pho, hl, ho, si, 0
             )
@@ -390,7 +390,7 @@ def smis(scene: Scene, trace, rd, hl, hn, ho, seed, config):
     if config.smp_phong_surface_phong:
         acc = 0.0
         for i in range(config.smp_phong_surface_phong):
-            si = sampler.fold_seed(seed, i)
+            si = sampler.fold_seed(seed, i, config.decorrelate_samples)
             acc += _roulette_planes(
                 scene, trace, phong_plane_pdf, pho, hl, ho, si, 1
             )
@@ -423,7 +423,7 @@ def unbiased_lambertian(scene: Scene, trace, hl, hn, ho, seed, config):
     """Cosine-hemisphere brute force (reference: common.glsl:394-403)."""
     acc = 0.0
     for i in range(config.smp_direct_lambert):
-        si = sampler.fold_seed(seed, i)
+        si = sampler.fold_seed(seed, i, config.decorrelate_samples)
         d = sampler.cos_hemi_dir(hn, si)
         acc += light_contribution(
             scene, trace, hl, ho, d, jnp.full(hl.shape[:-1], gmath.PI, hl.dtype)

@@ -28,6 +28,12 @@ class RenderConfig:
     smp_phong_surface_phong: int = 1
     smp_unbias: int = 4        # SMP_UNBIAS (unused by the reference)
     bias_weight: float = 1.0   # BIAS_WEIGHT
+    # Hash the per-sample streams (core/sampler.fold_seed) instead of the
+    # reference's `seed + i` when SMP_* > 1. Off by default — and measured
+    # WORSE when on: `seed + i` strides the Weyl lattice (QMC-style
+    # stratification, ~2.4x lower multi-sample MSE than independent hashed
+    # streams; see fold_seed). Kept for variance analysis.
+    decorrelate_samples: bool = False
     # Wavefront multi-bounce integrator (BASELINE config #3; the reference
     # defines BOUNCES but never loops, common.glsl:6).
     max_depth: int = 6         # path length for render.wavefront
