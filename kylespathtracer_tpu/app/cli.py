@@ -51,6 +51,7 @@ def cmd_render(args):
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         preview=args.preview,
+        resume=args.resume,
     )
     metrics.close()
 
@@ -144,6 +145,8 @@ def main(argv=None):
     p.add_argument("--unbiased", action="store_true", help="ground-truth estimators")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the newest checkpoint in --checkpoint-dir")
     p.add_argument("--preview", action="store_true",
                    help="live ANSI preview in the terminal")
     p.add_argument("--fused", action="store_true",

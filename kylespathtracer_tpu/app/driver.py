@@ -61,12 +61,29 @@ def render_animation(
     checkpoint_dir=None,
     checkpoint_every: int = 0,
     preview: bool = False,
+    resume: bool = False,
 ):
     """Render `num_frames` frames; returns (last_image, history).
 
     Frames run one jitted `render_frame` per step (history donated to avoid
     the ping-pong copy the reference needed GL feedback hacks for).
+    `resume=True` restores the newest checkpoint under `checkpoint_dir`
+    (history + frame index) and continues the sequence from there — the
+    elastic-recovery path: a preempted run relaunched with the same flags
+    picks up where the last checkpoint left it, bitwise-deterministically.
     """
+    if resume and checkpoint_dir:
+        from kylespathtracer_tpu.utils import checkpoint as ckpt_mod
+
+        like = {"history": init_history(config, Camera.create())}
+        try:
+            step, state = ckpt_mod.restore(checkpoint_dir, like=like)
+            history = state["history"]
+            num_frames = max(0, start_frame + num_frames - (step + 1))
+            start_frame = step + 1
+            print(f"resumed from checkpoint step {step}")
+        except FileNotFoundError:
+            pass  # fresh start
     if cameras is None:
         cameras = spline_cameras(start_frame + num_frames)
     if history is None:

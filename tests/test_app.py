@@ -169,3 +169,31 @@ def test_fly_step_moves_camera():
     assert bool(jnp.isfinite(img).all())
     # Forward intent at yaw 1.8 moved the camera in world space.
     assert float(jnp.linalg.norm(state2.loc - state.loc)) > 0.0
+
+
+def test_render_animation_resume_matches_uninterrupted(tmp_path):
+    """Elastic recovery: kill a run after its checkpoint, relaunch with
+    resume=True, and the final frame must equal the uninterrupted run's."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from kylespathtracer_tpu.app.driver import render_animation
+    from kylespathtracer_tpu.scene import default_scene
+    from kylespathtracer_tpu.utils.config import RenderConfig
+
+    scene = default_scene()
+    cfg = RenderConfig(width=32, height=24)
+    ck = tmp_path / "ck"
+
+    # Uninterrupted 6-frame reference.
+    ref, _ = render_animation(scene, cfg, num_frames=6)
+
+    # "Preempted" run: 4 frames with a checkpoint at frame 3, then resume.
+    render_animation(
+        scene, cfg, num_frames=4, checkpoint_dir=ck, checkpoint_every=3
+    )
+    img, _ = render_animation(
+        scene, cfg, num_frames=6, checkpoint_dir=ck, checkpoint_every=0,
+        resume=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(img))
