@@ -209,6 +209,35 @@ def _bench_fwd_bwd_one(scene, camera, rtt, width, height, iters, pipeline):
     )
 
 
+def bench_raycast(scene, camera, rtt, width=1920, height=1080, iters=30):
+    """Primary-visibility raycast (the geometry pass alone: raygen +
+    nearest-hit + analytic normals/curvature + G-buffer write) — the raw
+    per-chip ray throughput the ≥1 Grays/s north star names."""
+    from kylespathtracer_tpu.ops import frame_kernel as fk
+
+    config = RenderConfig(width=width, height=height)
+    fn = jax.jit(
+        lambda s, c, f: fk.geometry_pass_pallas(s, c, f, config)
+    )
+    try:
+        t0 = time.perf_counter()
+        out = fn(scene, camera, jnp.asarray(0, jnp.int32))
+        _sync(out)
+        compile_s = time.perf_counter() - t0
+
+        def step(i):
+            return fn(scene, camera, jnp.asarray(i, jnp.int32))
+
+        dt = _timed(step, lambda o: o, iters, rtt, "raycast")
+        stderr_json(
+            metric="raycast_rays_per_s_1080p",
+            value=round(width * height / dt, 1),
+            frame_ms=round(dt * 1e3, 2), compile_s=round(compile_s, 1),
+        )
+    except Exception as e:  # pragma: no cover
+        stderr_json(metric="raycast_error", error=str(e)[:200])
+
+
 def bench_wavefront(scene, camera, rtt, width=1920, height=1080, iters=5,
                     spp=4, depth=6):
     """Multi-bounce wavefront integrator: path-segments/s at 1080p."""
@@ -270,6 +299,7 @@ def main():
 
     rays_per_s = bench_forward(scene, camera, rtt)
     bench_fwd_bwd(scene, camera, rtt)
+    bench_raycast(scene, camera, rtt)
     bench_wavefront(scene, camera, rtt)
     bench_scaling()
 

@@ -299,6 +299,98 @@ def assemble_planes(outs, H):
     }
 
 
+def _geometry_kernel(
+    *refs, counts, width, height, fov, block_rows,
+):
+    """Raygen + primary nearest-hit + analytic normal/curvature only — the
+    reference's geometry pass (geometry.frag:36-72) as a standalone kernel.
+    Outputs: depth, curv, nx, ny, nz (f32) + oid (i32)."""
+    in_refs, out_refs = refs[:20], refs[20:]
+    sc = dict(zip(SC_KEYS, in_refs[:17]))
+    cam_ref, orient_ref, _frame_ref = in_refs[17:]
+    shape = (block_rows, width)
+    i = pl.program_id(0)
+
+    px = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    py = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i * block_rows
+    asp = float(width) / float(height)
+    xf = (2.0 * (px.astype(jnp.float32) + 0.5) / float(width) - 1.0) * asp
+    yf = 2.0 * (py.astype(jnp.float32) + 0.5) / float(height) - 1.0
+    zf = jnp.full(shape, float(fov), jnp.float32)
+    inv = jax.lax.rsqrt(xf * xf + yf * yf + zf * zf)
+    dx, dy, dz = xf * inv, yf * inv, zf * inv
+    cx = jnp.cos(orient_ref[0, 0])
+    sx = jnp.sin(orient_ref[0, 0])
+    cy = jnp.cos(orient_ref[0, 1])
+    sy = jnp.sin(orient_ref[0, 1])
+    y2 = dy * cx + dz * sx
+    z1 = -dy * sx + dz * cx
+    rd = (dx * cy + z1 * sy, y2, -dx * sy + z1 * cy)
+    ro = (
+        jnp.zeros(shape, jnp.float32) + cam_ref[0, 0],
+        jnp.zeros(shape, jnp.float32) + cam_ref[0, 1],
+        jnp.zeros(shape, jnp.float32) + cam_ref[0, 2],
+    )
+    no_excl = jnp.full(shape, -1, jnp.int32)
+    t, oid = sk._trace(sc, ro, rd, no_excl, *counts)
+    hit = oid > 0
+    hl = (ro[0] + rd[0] * t, ro[1] + rd[1] * t, ro[2] + rd[2] * t)
+    hn, curv = _normal_curv(sc, counts, hl, oid)
+    hn = sk._where_v(hit, hn, (jnp.zeros_like(t),) * 3)
+
+    for ref, val in zip(
+        out_refs, (t - gmath.EPS, curv, hn[0], hn[1], hn[2], oid)
+    ):
+        ref[:] = val
+
+
+def geometry_pass_pallas(
+    scene: Scene,
+    camera,
+    frame,
+    config: RenderConfig,
+    block_rows: int = 32,
+    interpret: bool = False,
+):
+    """Primary-visibility raycast → dict(depth, curv, normal, oid): the
+    geometry pass alone, for the raw rays/s benchmark and G-buffer-only
+    uses. block_rows=32 measured best at 1080p (1.99 ms = 1.04 Grays/s;
+    8 → 2.3 ms, 16 → 4.4 ms, 128 → 2.6 ms)."""
+    H, W = config.height, config.width
+    Hp = -(-H // block_rows) * block_rows
+    counts = (
+        int(scene.planes.shape[0]),
+        int(scene.spheres.shape[0]),
+        int(scene.boxes.shape[0]),
+    )
+    kernel = functools.partial(
+        _geometry_kernel,
+        counts=counts, width=W, height=H, fov=config.fov,
+        block_rows=block_rows,
+    )
+    small = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    img = lambda: pl.BlockSpec(
+        (block_rows, W), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    f32 = jax.ShapeDtypeStruct((Hp, W), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((Hp, W), jnp.int32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Hp // block_rows,),
+        in_specs=[small() for _ in range(20)],
+        out_specs=[img() for _ in range(6)],
+        out_shape=[f32] * 5 + [i32],
+        interpret=interpret,
+    )(*small_operands(scene, camera, frame))
+    crop = lambda a: a[:H]
+    return {
+        "depth": crop(outs[0]),
+        "curv": crop(outs[1]),
+        "normal": jnp.stack([crop(o) for o in outs[2:5]], axis=-1),
+        "oid": crop(outs[5]),
+    }
+
+
 def frame_forward_jnp(scene: Scene, camera, frame, config: RenderConfig):
     """`frame_block` over the whole image as plain jnp — the fused kernel's
     math without Pallas. Test oracle (no interpret-mode overhead) and the
