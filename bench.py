@@ -4,20 +4,30 @@ Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference's implied ~55 Mrays/s primary throughput at
 1280x720@60fps on a desktop GPU (BASELINE.md; main.cpp:302,355).
 
-Measurement honesty (round-3 rework): `jax.block_until_ready` was observed
-to return early over this image's axon remote-TPU tunnel, recording ~1000x
-optimistic numbers in BENCH_r02. Every timing below therefore synchronizes
-with `_sync`: a device_get of a scalar reduction over ALL outputs (image AND
-history / value AND every gradient leaf) — a data fetch cannot complete
-before the compute that produces it. Each pipelined number is cross-checked
-against an independent per-frame-blocked timing and replaced by it if the
-two disagree by more than the plausible overlap factor.
+Measurement honesty (round-4 rework): the host<->device tunnel on this
+image has a ~27 ms round trip, which swamps single-dispatch timings of
+single-digit-ms kernels (round 3's blocked/pipelined reconciliation hit
+that floor: it rejected a plausible 4.3 ms raycast because the rtt-polluted
+blocked figure read 13.9 ms). Every headline number below is therefore
+**device-resident**: K frames chained inside ONE jitted `lax.scan` (the
+loop carry serializes the frames; outputs fold into a scalar so nothing is
+fetched mid-loop), timed at two K values, and the per-frame time taken as
+the SLOPE (T(K_hi) - T(K_lo)) / (K_hi - K_lo) — rtt, dispatch, and sync
+overhead cancel exactly in the difference. A third K point checks
+linearity; `linear_ok` in the detail line means the two sub-slopes agree
+within 20%. The single-dispatch blocked figure is still recorded in the
+detail line as a sanity bound (scan slope must not exceed it).
+
+Synchronization uses `_sync`: a device_get of a scalar reduction — a data
+fetch cannot complete before the compute that produces it (
+`jax.block_until_ready` has returned early on the axon tunnel, BENCH_r02).
 
 Supplementary metrics on stderr (also JSON lines, recorded in the driver's
 artifact tail):
   * fwd:     fused-pipeline frame time / rays/s at 1080p (the headline)
   * fwd+bwd: value_and_grad of a pixel loss through the differentiable
              pipeline at 1spp 1080p (the BASELINE.json metric)
+  * raycast: the geometry pass alone (primary visibility + normals)
   * wavefront: multi-bounce integrator path-segments/s
   * scaling: virtual-mesh correctness + HLO-cost-model efficiency via a
              subprocess (wall-clock on shared-core virtual devices is
@@ -44,8 +54,6 @@ from kylespathtracer_tpu import (
     init_history,
     render_frame,
 )
-from kylespathtracer_tpu.utils.jitting import donate_history_kwargs
-
 BASELINE_RAYS_PER_S = 55.3e6  # 1280*720*60
 
 
@@ -76,6 +84,69 @@ def _roundtrip_s() -> float:
     for _ in range(5):
         _ = float(jax.device_get(x + 1.0))
     return (time.perf_counter() - t0) / 5
+
+
+def _timed_scan(make_scan, ks, tag: str, reps: int = 3,
+                blocked_ms: float | None = None):
+    """Device-resident per-frame time via the multi-K slope method.
+
+    `make_scan(K)` returns a zero-argument callable that runs K chained
+    frames on-device and returns a scalar (synced with `_sync`). The
+    per-frame time is the least-squares slope of total time vs K; rtt and
+    per-dispatch overhead are the intercept and cancel out of the slope.
+    `ks` must be ≥3 ascending ints; the detail line records the sub-slopes
+    between consecutive K pairs and whether they agree within 20%.
+    """
+    fns = [make_scan(k) for k in ks]
+    compile_s = 0.0
+    times = []
+    for fn in fns:
+        t0 = time.perf_counter()
+        _sync(fn())  # compile + warm
+        compile_s += time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _sync(fn())
+            best = min(best, time.perf_counter() - t0)
+        times.append(best)
+
+    # Least-squares slope of best-time vs K.
+    n = len(ks)
+    mk = sum(ks) / n
+    mt = sum(times) / n
+    slope = sum((k - mk) * (t - mt) for k, t in zip(ks, times)) / sum(
+        (k - mk) ** 2 for k in ks
+    )
+    sub = [
+        (times[i + 1] - times[i]) / (ks[i + 1] - ks[i]) for i in range(n - 1)
+    ]
+    lo, hi = min(sub), max(sub)
+    linear_ok = hi <= lo * 1.2 + 1e-4
+    detail = dict(
+        metric=f"{tag}_timing_detail",
+        method="scan-slope",
+        ks=list(ks),
+        totals_ms=[round(t * 1e3, 2) for t in times],
+        sub_slopes_ms=[round(s * 1e3, 3) for s in sub],
+        slope_ms=round(slope * 1e3, 3),
+        linear_ok=bool(linear_ok),
+        compile_s=round(compile_s, 1),
+        reps=reps,
+    )
+    if blocked_ms is not None:
+        detail["blocked_single_dispatch_ms"] = round(blocked_ms, 2)
+        detail["scan_within_blocked"] = bool(slope * 1e3 <= blocked_ms * 1.2)
+    stderr_json(**detail)
+    return max(slope, 1e-9)
+
+
+def _blocked_once(step, iters: int, rtt: float) -> float:
+    """Single-dispatch blocked timing (sanity upper bound), rtt-corrected."""
+    t0 = time.perf_counter()
+    for i in range(iters):
+        _sync(step(i))
+    return max((time.perf_counter() - t0) / iters - rtt, 1e-9) * 1e3
 
 
 def _timed(step, sync_out, iters: int, rtt: float, tag: str):
@@ -118,38 +189,51 @@ def _timed(step, sync_out, iters: int, rtt: float, tag: str):
     return dt
 
 
-def bench_forward(scene, camera, rtt, width=1920, height=1080, iters=30):
-    """Fused-pipeline forward frames; falls back to the XLA pipeline if the
-    Pallas kernel fails on this backend."""
+def bench_forward(scene, camera, rtt, width=1920, height=1080, iters=8):
+    """Fused-pipeline forward frames (history carried through the scan, so
+    every frame pays the real reprojection + temporal accumulation cost);
+    falls back to the XLA pipeline if the Pallas kernel fails."""
     for pipeline in ("fused", "pass"):
         config = RenderConfig(width=width, height=height, pipeline=pipeline)
         try:
             history = init_history(config, camera)
-            fn = jax.jit(
-                render_frame, static_argnames=("config",), **donate_history_kwargs()
+
+            def make_scan(K):
+                def body(carry, i):
+                    hist, acc = carry
+                    img, hist = render_frame(scene, camera, hist, i, config)
+                    return (hist, acc + img[0, 0, 0]), None
+
+                @jax.jit
+                def run(history):
+                    (h, acc), _ = jax.lax.scan(
+                        body, (history, jnp.float32(0.0)),
+                        jnp.arange(K, dtype=jnp.int32),
+                    )
+                    return acc
+
+                return lambda: run(history)
+
+            # Blocked single-dispatch sanity bound.
+            fn = jax.jit(render_frame, static_argnames=("config",))
+            img, hist2 = fn(scene, camera, history, jnp.asarray(0, jnp.int32), config)
+            _sync((img, hist2))
+            blocked = _blocked_once(
+                lambda i: fn(scene, camera, history, jnp.asarray(i, jnp.int32), config),
+                iters, rtt,
             )
-            t0 = time.perf_counter()
-            image, history = fn(scene, camera, history, jnp.asarray(0, jnp.int32), config)
-            _sync((image, history))
-            compile_s = time.perf_counter() - t0
 
-            state = {"h": history}
-
-            def step(i):
-                img, state["h"] = fn(
-                    scene, camera, state["h"], jnp.asarray(i, jnp.int32), config
-                )
-                return img, state["h"]
-
-            dt = _timed(step, lambda o: o, iters, rtt, f"fwd_{pipeline}")
+            dt = _timed_scan(
+                make_scan, (4, 20, 36), f"fwd_{pipeline}", blocked_ms=blocked
+            )
             stderr_json(
                 metric="fwd_frame_ms_1080p", pipeline=pipeline,
-                value=round(dt * 1e3, 2), compile_s=round(compile_s, 1),
+                value=round(dt * 1e3, 2),
             )
             # Each pixel traces ~9 rays per frame (primary + direct-light
             # visibility + 4 roulette plane marches + 4 light re-samples,
-            # SURVEY §3.2): the headline counts primaries only; this is the
-            # total traced-ray throughput.
+            # SURVEY §3.2): the headline counts primaries only; this derived
+            # stat is the total traced-ray throughput.
             stderr_json(
                 metric="traced_rays_per_s_1080p", pipeline=pipeline,
                 value=round(9 * width * height / dt, 1),
@@ -190,22 +274,37 @@ def _bench_fwd_bwd_one(scene, camera, rtt, width, height, iters, pipeline):
         img, _ = render_frame(scene, camera, history, frame, config)
         return jnp.mean(img)
 
-    vg = jax.jit(jax.value_and_grad(loss_fn, allow_int=True))
-    t0 = time.perf_counter()
-    v, g = vg(scene, camera, history, jnp.asarray(0, jnp.int32))
+    vg = jax.value_and_grad(loss_fn, allow_int=True)
+
+    def make_scan(K):
+        @jax.jit
+        def run(history, scene):
+            def body(acc, i):
+                v, g = vg(scene, camera, history, i)
+                # Fold one float grad leaf in so the backward stays live.
+                return acc + v + jnp.sum(g.spheres), None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.float32(0.0), jnp.arange(K, dtype=jnp.int32)
+            )
+            return acc
+
+        return lambda: run(history, scene)
+
+    vg_jit = jax.jit(vg)
+    v, g = vg_jit(scene, camera, history, jnp.asarray(0, jnp.int32))
     _sync((v, g))
-    compile_s = time.perf_counter() - t0
+    blocked = _blocked_once(
+        lambda i: vg_jit(scene, camera, history, jnp.asarray(i, jnp.int32)),
+        iters, rtt,
+    )
 
-    def step(i):
-        return vg(scene, camera, history, jnp.asarray(i, jnp.int32))
-
-    dt = _timed(step, lambda o: o, iters, rtt, "fwd_bwd")
+    dt = _timed_scan(make_scan, (2, 10, 18), "fwd_bwd", blocked_ms=blocked)
     stderr_json(
         metric="fwd_bwd_rays_per_s_1080p",
         value=round(width * height / dt, 1),
         frame_ms=round(dt * 1e3, 2),
         pipeline=pipeline,
-        compile_s=round(compile_s, 1),
     )
 
 
@@ -220,19 +319,33 @@ def bench_raycast(scene, camera, rtt, width=1920, height=1080, iters=30):
         lambda s, c, f: fk.geometry_pass_pallas(s, c, f, config)
     )
     try:
-        t0 = time.perf_counter()
         out = fn(scene, camera, jnp.asarray(0, jnp.int32))
         _sync(out)
-        compile_s = time.perf_counter() - t0
+        blocked = _blocked_once(
+            lambda i: fn(scene, camera, jnp.asarray(i, jnp.int32)), iters, rtt
+        )
 
-        def step(i):
-            return fn(scene, camera, jnp.asarray(i, jnp.int32))
+        def make_scan(K):
+            @jax.jit
+            def run(scene, camera):
+                def body(acc, i):
+                    # `frame` (= i) is a kernel operand, so the opaque
+                    # pallas_call is not loop-invariant; `acc` serializes.
+                    out = fk.geometry_pass_pallas(scene, camera, i, config)
+                    return acc + out["depth"][0, 0], None
 
-        dt = _timed(step, lambda o: o, iters, rtt, "raycast")
+                acc, _ = jax.lax.scan(
+                    body, jnp.float32(0.0), jnp.arange(K, dtype=jnp.int32)
+                )
+                return acc
+
+            return lambda: run(scene, camera)
+
+        dt = _timed_scan(make_scan, (8, 40, 72), "raycast", blocked_ms=blocked)
         stderr_json(
             metric="raycast_rays_per_s_1080p",
             value=round(width * height / dt, 1),
-            frame_ms=round(dt * 1e3, 2), compile_s=round(compile_s, 1),
+            frame_ms=round(dt * 1e3, 2),
         )
     except Exception as e:  # pragma: no cover
         stderr_json(metric="raycast_error", error=str(e)[:200])
@@ -246,21 +359,34 @@ def bench_wavefront(scene, camera, rtt, width=1920, height=1080, iters=5,
     config = RenderConfig(width=width, height=height, spp=spp, max_depth=depth)
     fn = jax.jit(wf.render_pathtraced, static_argnames=("config",))
     try:
-        t0 = time.perf_counter()
         img = fn(scene, camera, config, jnp.asarray(0, jnp.int32))
         _sync(img)
-        compile_s = time.perf_counter() - t0
+        blocked = _blocked_once(
+            lambda i: fn(scene, camera, config, jnp.asarray(i, jnp.int32)),
+            iters, rtt,
+        )
 
-        def step(i):
-            return fn(scene, camera, config, jnp.asarray(i, jnp.int32))
+        def make_scan(K):
+            @jax.jit
+            def run(scene, camera):
+                def body(acc, i):
+                    img = wf.render_pathtraced(scene, camera, config, i)
+                    return acc + img[0, 0, 0], None
 
-        dt = _timed(step, lambda o: o, iters, rtt, "wavefront")
+                acc, _ = jax.lax.scan(
+                    body, jnp.float32(0.0), jnp.arange(K, dtype=jnp.int32)
+                )
+                return acc
+
+            return lambda: run(scene, camera)
+
+        dt = _timed_scan(make_scan, (1, 4, 7), "wavefront", blocked_ms=blocked)
         segs = width * height * spp * depth
         stderr_json(
             metric="wavefront_segments_per_s_1080p",
             value=round(segs / dt, 1),
             frame_ms=round(dt * 1e3, 2),
-            spp=spp, depth=depth, compile_s=round(compile_s, 1),
+            spp=spp, depth=depth,
         )
     except Exception as e:  # pragma: no cover
         stderr_json(metric="wavefront_error", error=str(e)[:200])

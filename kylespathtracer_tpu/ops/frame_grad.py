@@ -51,7 +51,7 @@ def _f0(x):
 
 def _frame_bwd_kernel(
     *refs, counts, nK, gloss, width, height, fov, block_rows, block_cols,
-    soft_beta,
+    soft_beta, smp, decorrelate,
 ):
     in_refs = refs[:20]
     g_refs = refs[20:33]
@@ -72,7 +72,8 @@ def _frame_bwd_kernel(
             sc, v[17], v[18], frame, i * block_rows,
             counts=counts, nK=nK, gloss=gloss, width=width, height=height,
             fov=fov, block_rows=block_rows, soft_beta=soft_beta,
-            block_cols=block_cols, col0=j * block_cols,
+            block_cols=block_cols, col0=j * block_cols, smp=smp,
+            decorrelate=decorrelate,
         )
         return outs[:13]  # float planes only; oid carries no cotangent
 
@@ -127,7 +128,8 @@ def frame_backward_pallas(
         _frame_bwd_kernel,
         counts=counts, nK=nK, gloss=config.gloss, width=W, height=H,
         fov=config.fov, block_rows=block_rows, block_cols=block_cols,
-        soft_beta=float(config.soft_shadows),
+        soft_beta=float(config.soft_shadows), smp=fk.smp_of(config),
+        decorrelate=bool(config.decorrelate_samples),
     )
 
     def pad(a):

@@ -85,10 +85,45 @@ SC_KEYS = (
 )
 
 
+def smp_of(config: RenderConfig) -> int:
+    """The fused kernel's per-strategy sample count from the six SMP_*
+    knobs (common.glsl:13-24). The kernel shares every cone draw across
+    strategies (like mis.dual_mis), which requires the six counts equal;
+    any other combination must use pipeline="pass"."""
+    smp = config.smp_direct_lambert
+    if not (
+        smp == config.smp_lambert_surface_lambert
+        == config.smp_lambert_surface_phong == config.smp_direct_phong
+        == config.smp_phong_surface_lambert == config.smp_phong_surface_phong
+    ) or smp < 1:
+        raise ValueError(
+            "the fused pipeline requires all six smp_* counts equal and >=1 "
+            f"(got {smp}, {config.smp_lambert_surface_lambert}, "
+            f"{config.smp_lambert_surface_phong}, {config.smp_direct_phong}, "
+            f"{config.smp_phong_surface_lambert}, "
+            f"{config.smp_phong_surface_phong}); use pipeline='pass' for "
+            "per-strategy counts"
+        )
+    return int(smp)
+
+
+def _fold_seed(seed, i: int, decorrelate: bool):
+    """Per-sample stream in component form (core/sampler.fold_seed):
+    `seed + i` Weyl-lattice stride by default, PCG-hashed (seed, i) when
+    decorrelating."""
+    if not decorrelate or i == 0:
+        return seed + jnp.int32(i)
+    mixed = seed.astype(jnp.uint32) ^ jnp.uint32((i * 0x9E3779B9) & 0xFFFFFFFF)
+    state = mixed * jnp.uint32(747796405) + jnp.uint32(2891336453)
+    shift = (state >> jnp.uint32(28)) + jnp.uint32(4)
+    word = ((state >> shift) ^ state) * jnp.uint32(277803737)
+    return ((word >> jnp.uint32(22)) ^ word).astype(jnp.int32)
+
+
 def frame_block(
     sc, cam, orient, frame, row0,
     *, counts, nK, gloss, width, height, fov, block_rows, soft_beta=0.0,
-    block_cols=None, col0=0,
+    block_cols=None, col0=0, smp=1, decorrelate=False,
 ):
     """The fused frame's per-block math as a pure function of VALUES.
 
@@ -152,10 +187,24 @@ def frame_block(
     depth = t - gmath.EPS
     hl = (ro[0] + rd[0] * depth, ro[1] + rd[1] * depth, ro[2] + rd[2] * depth)
 
-    # Dual-MIS estimators (common.glsl:430-616).
-    est_d, est_s = sk._shade_core(
-        sc, counts, nK, gloss, hn, rd, oid, hl, seed, soft_beta=soft_beta
-    )
+    # Dual-MIS estimators (common.glsl:430-616), averaged over the smp
+    # per-strategy samples exactly like mis.dual_mis: per-sample streams via
+    # _fold_seed, statically unrolled so each iteration's intermediates die
+    # before the next.
+    est_d = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
+    est_s = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
+    for i in range(smp):
+        ed, es = sk._shade_core(
+            sc, counts, nK, gloss, hn, rd, oid, hl,
+            _fold_seed(seed, i, decorrelate), soft_beta=soft_beta,
+        )
+        for c in range(3):
+            est_d[c] = est_d[c] + ed[c]
+            est_s[c] = est_s[c] + es[c]
+    if smp > 1:
+        inv_smp = 1.0 / float(smp)
+        est_d = [e * inv_smp for e in est_d]
+        est_s = [e * inv_smp for e in est_s]
 
     # Emission + primary material for reprojection add / composite
     # (diffuse.frag:54-56; passthrough.frag:39-41).
@@ -175,7 +224,8 @@ def frame_block(
 
 def _frame_kernel(
     *refs,
-    counts, nK, gloss, width, height, fov, block_rows, soft_beta,
+    counts, nK, gloss, width, height, fov, block_rows, soft_beta, smp,
+    decorrelate,
 ):
     in_refs, out_refs = refs[:20], refs[20:]
     # Refs go into frame_block directly: scalar reads like planes_ref[i, k]
@@ -188,7 +238,8 @@ def _frame_kernel(
     outs = frame_block(
         sc, cam_ref, orient_ref, frame_ref[0, 0], i * block_rows,
         counts=counts, nK=nK, gloss=gloss, width=width, height=height,
-        fov=fov, block_rows=block_rows, soft_beta=soft_beta,
+        fov=fov, block_rows=block_rows, soft_beta=soft_beta, smp=smp,
+        decorrelate=decorrelate,
     )
     for ref, val in zip(out_refs, outs):
         ref[:] = val
@@ -259,6 +310,8 @@ def frame_forward_pallas(
         fov=config.fov,
         block_rows=block_rows,
         soft_beta=float(config.soft_shadows),
+        smp=smp_of(config),
+        decorrelate=bool(config.decorrelate_samples),
     )
 
     small = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -354,8 +407,9 @@ def geometry_pass_pallas(
 ):
     """Primary-visibility raycast → dict(depth, curv, normal, oid): the
     geometry pass alone, for the raw rays/s benchmark and G-buffer-only
-    uses. block_rows=32 measured best at 1080p (1.99 ms = 1.04 Grays/s;
-    8 → 2.3 ms, 16 → 4.4 ms, 128 → 2.6 ms)."""
+    uses. Device-resident scan-slope timing at 1080p (BENCH_r04, v5e):
+    0.88 ms = 2.35 Grays/s with block_rows=32 (the round-3 single-dispatch
+    figures were host-rtt-bound and unreliable below ~10 ms)."""
     H, W = config.height, config.width
     Hp = -(-H // block_rows) * block_rows
     counts = (
@@ -408,5 +462,6 @@ def frame_forward_jnp(scene: Scene, camera, frame, config: RenderConfig):
         counts=counts, nK=int(scene.materials.s0.shape[0]),
         gloss=config.gloss, width=W, height=H, fov=config.fov,
         block_rows=H, soft_beta=float(config.soft_shadows),
+        smp=smp_of(config), decorrelate=bool(config.decorrelate_samples),
     )
     return assemble_planes(outs, H)

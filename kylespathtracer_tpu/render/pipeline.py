@@ -54,7 +54,13 @@ def render_frame(
     (reference frame loop: main.cpp:344-350)
     """
     if config.pipeline == "fused":
-        return render_frame_fused(scene, camera, history, frame, config)
+        if config.biased:
+            # Unequal smp_* counts raise ValueError inside the kernel
+            # (frame_kernel.smp_of) — never silently diverge from the config.
+            return render_frame_fused(scene, camera, history, frame, config)
+        # The unbiased ground-truth estimators (common.glsl:394-415) are not
+        # implemented in-kernel; route to the pass pipeline, which honors
+        # them exactly (passes.py). Correctness over speed for a debug mode.
     gb = gb_mod.geometry_pass(scene, camera, config)
     d, s = shade_passes(
         scene, config, gb, camera, history.camera,
