@@ -201,7 +201,16 @@ def bench_forward(scene, camera, rtt, width=1920, height=1080, iters=8):
             def make_scan(K):
                 def body(carry, i):
                     hist, acc = carry
-                    img, hist = render_frame(scene, camera, hist, i, config)
+                    # Slow pan (~0.3 px/frame at 1080p): keeps the temporal
+                    # reprojection honestly exercised — a static camera
+                    # would let the history kernel's dead-offset skips
+                    # (ops/frame_hist.py) collapse to the single (0,0) term.
+                    cam = camera.replace(
+                        orient=camera.orient
+                        + jnp.asarray([0.0, 1e-3], jnp.float32)
+                        * i.astype(jnp.float32)
+                    )
+                    img, hist = render_frame(scene, cam, hist, i, config)
                     return (hist, acc + img[0, 0, 0]), None
 
                 @jax.jit
@@ -264,6 +273,47 @@ def bench_fwd_bwd(scene, camera, rtt, width=1920, height=1080, iters=10):
     raise RuntimeError("both fwd+bwd pipelines failed")
 
 
+def bench_fused_loss_grad(scene, camera, width=1920, height=1080):
+    """The single-kernel fused loss+gradient step (ops/loss_kernel.py): the
+    honest fwd+bwd of the mean-pixel loss with forward, composite, loss and
+    backward in ONE device program — the BASELINE.json fwd+bwd metric's
+    best path. The generic custom-VJP number is reported separately."""
+    from kylespathtracer_tpu.ops import loss_kernel as lk
+
+    config = RenderConfig(
+        width=width, height=height, no_history=True, pipeline="fused"
+    )
+
+    def make_scan(K):
+        @jax.jit
+        def run(scene):
+            def body(acc, i):
+                v, g = lk.render_loss_and_grad(
+                    scene, camera, i, config, loss="mean"
+                )
+                return acc + v + jnp.sum(g[1]), None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.float32(0.0), jnp.arange(K, dtype=jnp.int32)
+            )
+            return acc
+
+        return lambda: run(scene)
+
+    try:
+        dt = _timed_scan(make_scan, (2, 10, 18), "fwd_bwd_fused_loss")
+        stderr_json(
+            metric="fwd_bwd_rays_per_s_1080p",
+            value=round(width * height / dt, 1),
+            frame_ms=round(dt * 1e3, 2),
+            pipeline="fused_loss_kernel",
+        )
+        return width * height / dt
+    except Exception as e:  # pragma: no cover
+        stderr_json(metric="fwd_bwd_fused_loss_error", error=str(e)[:200])
+        return None
+
+
 def _bench_fwd_bwd_one(scene, camera, rtt, width, height, iters, pipeline):
     config = RenderConfig(
         width=width, height=height, no_history=True, pipeline=pipeline
@@ -301,7 +351,7 @@ def _bench_fwd_bwd_one(scene, camera, rtt, width, height, iters, pipeline):
 
     dt = _timed_scan(make_scan, (2, 10, 18), "fwd_bwd", blocked_ms=blocked)
     stderr_json(
-        metric="fwd_bwd_rays_per_s_1080p",
+        metric="fwd_bwd_generic_rays_per_s_1080p",
         value=round(width * height / dt, 1),
         frame_ms=round(dt * 1e3, 2),
         pipeline=pipeline,
@@ -424,6 +474,7 @@ def main():
     stderr_json(metric="host_device_roundtrip_ms", value=round(rtt * 1e3, 2))
 
     rays_per_s = bench_forward(scene, camera, rtt)
+    bench_fused_loss_grad(scene, camera)
     bench_fwd_bwd(scene, camera, rtt)
     bench_raycast(scene, camera, rtt)
     bench_wavefront(scene, camera, rtt)

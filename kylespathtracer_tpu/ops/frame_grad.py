@@ -51,11 +51,12 @@ def _f0(x):
 
 def _frame_bwd_kernel(
     *refs, counts, nK, gloss, width, height, fov, block_rows, block_cols,
-    soft_beta, smp, decorrelate,
+    soft_beta, smp, decorrelate, present,
 ):
+    n_present = sum(present)
     in_refs = refs[:20]
-    g_refs = refs[20:33]
-    out_refs = refs[33:]
+    g_refs = refs[20:20 + n_present]
+    out_refs = refs[20 + n_present:]
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -75,7 +76,11 @@ def _frame_bwd_kernel(
             block_cols=block_cols, col0=j * block_cols, smp=smp,
             decorrelate=decorrelate,
         )
-        return outs[:13]  # float planes only; oid carries no cotangent
+        # Only the float planes whose cotangent is symbolically nonzero
+        # (`present`); oid carries none. The transposed jaxpr then DCEs the
+        # whole backward chain of the dropped planes (e.g. depth/curv in an
+        # image-only loss: the primary-intersect and curvature backward).
+        return tuple(o for o, p in zip(outs[:13], present) if p)
 
     _, vjp = jax.vjp(f, diff_in)
     (grads,) = vjp(tuple(r[:] for r in g_refs))
@@ -104,6 +109,7 @@ def frame_backward_pallas(
     block_rows: int = 8,
     block_cols: int | None = None,
     interpret: bool = False,
+    vmem_mb: int = 64,
 ):
     """Run the backward kernel → tuple of gradients in DIFF_IDX order."""
     H, W = config.height, config.width
@@ -124,12 +130,24 @@ def frame_backward_pallas(
     )
     nK = int(scene.materials.s0.shape[0])
 
+    # Which of the 13 float-plane cotangents are symbolically nonzero. A
+    # missing/None entry means the caller's loss provably never touched the
+    # plane (custom_vjp symbolic_zeros): drop it from the kernel entirely —
+    # the transposed jaxpr then DCEs its whole backward chain.
+    names = [
+        ("add_d", 0), ("add_d", 1), ("add_d", 2),
+        ("add_s", 0), ("add_s", 1), ("add_s", 2),
+        ("alb", 0), ("alb", 1), ("alb", 2),
+        ("ene", 0), ("ene", 1), ("depth", None), ("curv", None),
+    ]
+    present = tuple(g.get(n) is not None for n, _ in names)
+
     kernel = functools.partial(
         _frame_bwd_kernel,
         counts=counts, nK=nK, gloss=config.gloss, width=W, height=H,
         fov=config.fov, block_rows=block_rows, block_cols=block_cols,
         soft_beta=float(config.soft_shadows), smp=fk.smp_of(config),
-        decorrelate=bool(config.decorrelate_samples),
+        decorrelate=bool(config.decorrelate_samples), present=present,
     )
 
     def pad(a):
@@ -137,13 +155,10 @@ def frame_backward_pallas(
             return a
         return jnp.pad(a, ((0, Hp - a.shape[0]), (0, Wp - a.shape[1])))
 
-    # 13 cotangent planes in forward output order, zero-padded to (Hp, Wp).
+    # Present cotangent planes in forward output order, zero-padded.
     g_planes = [
-        pad(g["add_d"][..., 0]), pad(g["add_d"][..., 1]), pad(g["add_d"][..., 2]),
-        pad(g["add_s"][..., 0]), pad(g["add_s"][..., 1]), pad(g["add_s"][..., 2]),
-        pad(g["alb"][..., 0]), pad(g["alb"][..., 1]), pad(g["alb"][..., 2]),
-        pad(g["ene"][..., 0]), pad(g["ene"][..., 1]),
-        pad(g["depth"]), pad(g["curv"]),
+        pad(g[n] if c is None else g[n][..., c])
+        for (n, c), p in zip(names, present) if p
     ]
 
     small = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -160,16 +175,48 @@ def frame_backward_pallas(
     return pl.pallas_call(
         kernel,
         grid=(Hp // block_rows, Wp // block_cols),
-        in_specs=[small() for _ in range(20)] + [img() for _ in range(13)],
+        in_specs=[small() for _ in range(20)] + [img() for _ in g_planes],
         out_specs=out_specs,
         out_shape=out_shape,
         # The transposed block jaxpr keeps forward residuals live through
         # the reverse sweep; give it headroom beyond the 16 MB default.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=vmem_mb * 1024 * 1024
         ),
         interpret=interpret,
     )(*ops, *g_planes)
+
+
+def assemble_grads(scene, camera, grads, light_index: int):
+    """DIFF_IDX-ordered gradient tables → (d_scene, d_camera) pytrees.
+
+    Shared by the custom-VJP backward below and the fused loss kernel
+    (ops/loss_kernel.py)."""
+    (d_planes, d_spheres, d_boxes, d_lc, d_light, d_s0, d_s1,
+     d_ac, d_as, d_em, d_ec, d_es, d_cam, d_or) = grads
+    # Crop gradients of dummy-padded zero-row tables (small_operands).
+    d_planes = d_planes[: scene.planes.shape[0]]
+    d_spheres = d_spheres[: scene.spheres.shape[0]]
+    d_boxes = d_boxes[: scene.boxes.shape[0]]
+    # scene.light is spheres[light_index]: fold its cotangent back.
+    d_spheres = d_spheres.at[light_index].add(d_light.reshape(4))
+    mats = scene.materials
+    d_mats = mats.replace(
+        s0=d_s0.reshape(-1), s1=d_s1.reshape(-1),
+        freq=jnp.zeros_like(mats.freq),
+        alb_const=d_ac, alb_scale=d_as, emission=d_em,
+        en_const=d_ec, en_scale=d_es,
+        bsdf=None if mats.bsdf is None else _f0(mats.bsdf),
+        ior=None if mats.ior is None else jnp.zeros_like(mats.ior),
+    )
+    d_scene = scene.replace(
+        planes=d_planes, plane_ids=_f0(scene.plane_ids),
+        spheres=d_spheres, sphere_ids=_f0(scene.sphere_ids),
+        boxes=d_boxes, box_ids=_f0(scene.box_ids),
+        light_color=d_lc.reshape(3), materials=d_mats,
+    )
+    d_camera = camera.replace(loc=d_cam.reshape(3), orient=d_or.reshape(2))
+    return d_scene, d_camera
 
 
 @functools.lru_cache(maxsize=64)
@@ -181,41 +228,30 @@ def _make_diff_fn(config: RenderConfig, light_index: int, interpret: bool):
         )
 
     def fwd_fwd(scene, camera, frame):
+        # symbolic_zeros=True wraps every input leaf in CustomVJPPrimal.
+        unwrap = lambda t: jax.tree_util.tree_map(lambda p: p.value, t)
+        scene, camera, frame = unwrap(scene), unwrap(camera), unwrap(frame)
         return fwd(scene, camera, frame), (scene, camera, frame)
 
     def fwd_bwd(res, g):
+        from jax.custom_derivatives import SymbolicZero
+
         scene, camera, frame = res
-        (d_planes, d_spheres, d_boxes, d_lc, d_light, d_s0, d_s1,
-         d_ac, d_as, d_em, d_ec, d_es, d_cam, d_or) = frame_backward_pallas(
+        # Output planes the loss provably never touched arrive as
+        # SymbolicZero: map them to None so frame_backward_pallas drops
+        # their backward chains statically (e.g. depth/curv in image-only
+        # losses — the whole primary-intersect/curvature backward).
+        g = {
+            k: (None if isinstance(v, SymbolicZero) else v)
+            for k, v in g.items()
+        }
+        grads = frame_backward_pallas(
             scene, camera, frame, g, config, interpret=interpret
         )
-        # Crop gradients of dummy-padded zero-row tables (small_operands).
-        d_planes = d_planes[: scene.planes.shape[0]]
-        d_spheres = d_spheres[: scene.spheres.shape[0]]
-        d_boxes = d_boxes[: scene.boxes.shape[0]]
-        # scene.light is spheres[light_index]: fold its cotangent back.
-        d_spheres = d_spheres.at[light_index].add(d_light.reshape(4))
-        mats = scene.materials
-        d_mats = mats.replace(
-            s0=d_s0.reshape(-1), s1=d_s1.reshape(-1),
-            freq=jnp.zeros_like(mats.freq),
-            alb_const=d_ac, alb_scale=d_as, emission=d_em,
-            en_const=d_ec, en_scale=d_es,
-            bsdf=None if mats.bsdf is None else _f0(mats.bsdf),
-            ior=None if mats.ior is None else jnp.zeros_like(mats.ior),
-        )
-        d_scene = scene.replace(
-            planes=d_planes, plane_ids=_f0(scene.plane_ids),
-            spheres=d_spheres, sphere_ids=_f0(scene.sphere_ids),
-            boxes=d_boxes, box_ids=_f0(scene.box_ids),
-            light_color=d_lc.reshape(3), materials=d_mats,
-        )
-        d_camera = camera.replace(
-            loc=d_cam.reshape(3), orient=d_or.reshape(2)
-        )
+        d_scene, d_camera = assemble_grads(scene, camera, grads, light_index)
         return d_scene, d_camera, _f0(frame)
 
-    fwd.defvjp(fwd_fwd, fwd_bwd)
+    fwd.defvjp(fwd_fwd, fwd_bwd, symbolic_zeros=True)
     return fwd
 
 

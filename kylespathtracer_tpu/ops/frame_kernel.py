@@ -120,6 +120,33 @@ def _fold_seed(seed, i: int, decorrelate: bool):
     return ((word >> jnp.uint32(22)) ^ word).astype(jnp.int32)
 
 
+def _raygen(shape, cam, orient, width, height, fov, row0, col0=0):
+    """Pixel grid + primary rays for a block (geometry.frag:38-39,67):
+    aspect-scaled NDC → normalize → pitch/yaw rotation. Returns
+    (px, py, ro, rd) component planes."""
+    px = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + col0
+    py = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
+    asp = float(width) / float(height)
+    xf = (2.0 * (px.astype(jnp.float32) + 0.5) / float(width) - 1.0) * asp
+    yf = 2.0 * (py.astype(jnp.float32) + 0.5) / float(height) - 1.0
+    zf = jnp.full(shape, float(fov), jnp.float32)
+    inv = jax.lax.rsqrt(xf * xf + yf * yf + zf * zf)
+    dx, dy, dz = xf * inv, yf * inv, zf * inv
+    cx = jnp.cos(orient[0, 0])
+    sx = jnp.sin(orient[0, 0])
+    cy = jnp.cos(orient[0, 1])
+    sy = jnp.sin(orient[0, 1])
+    y2 = dy * cx + dz * sx
+    z1 = -dy * sx + dz * cx
+    rd = (dx * cy + z1 * sy, y2, -dx * sy + z1 * cy)
+    ro = (
+        jnp.full(shape, 0.0, jnp.float32) + cam[0, 0],
+        jnp.full(shape, 0.0, jnp.float32) + cam[0, 1],
+        jnp.full(shape, 0.0, jnp.float32) + cam[0, 2],
+    )
+    return px, py, ro, rd
+
+
 def frame_block(
     sc, cam, orient, frame, row0,
     *, counts, nK, gloss, width, height, fov, block_rows, soft_beta=0.0,
@@ -142,36 +169,13 @@ def frame_block(
     shape = (block_rows, width if block_cols is None else block_cols)
 
     # Pixel grid of this block. Row 0 is the image bottom (GL fragCoord).
-    px = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + col0
-    py = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
+    px, py, ro, rd = _raygen(shape, cam, orient, width, height, fov, row0, col0)
 
     # Per-pixel Weyl seed (common.glsl:39-41), all int32 wraparound.
     seed = (
         ((frame << 12) + px + (py << 1))
         ^ (px * jnp.int32(height))
         ^ (py * jnp.int32(width))
-    )
-
-    # Raygen (geometry.frag:38-39,67): aspect-scaled NDC → normalize →
-    # pitch/yaw rotation.
-    asp = float(width) / float(height)
-    xf = (2.0 * (px.astype(jnp.float32) + 0.5) / float(width) - 1.0) * asp
-    yf = 2.0 * (py.astype(jnp.float32) + 0.5) / float(height) - 1.0
-    zf = jnp.full(shape, float(fov), jnp.float32)
-    inv = jax.lax.rsqrt(xf * xf + yf * yf + zf * zf)
-    dx, dy, dz = xf * inv, yf * inv, zf * inv
-    cx = jnp.cos(orient[0, 0])
-    sx = jnp.sin(orient[0, 0])
-    cy = jnp.cos(orient[0, 1])
-    sy = jnp.sin(orient[0, 1])
-    y2 = dy * cx + dz * sx
-    z1 = -dy * sx + dz * cx
-    rd = (dx * cy + z1 * sy, y2, -dx * sy + z1 * cy)
-
-    ro = (
-        jnp.full(shape, 0.0, jnp.float32) + cam[0, 0],
-        jnp.full(shape, 0.0, jnp.float32) + cam[0, 1],
-        jnp.full(shape, 0.0, jnp.float32) + cam[0, 2],
     )
 
     # Primary intersect (geometry.frag:67-68) + analytic normal/curvature.
@@ -364,25 +368,8 @@ def _geometry_kernel(
     shape = (block_rows, width)
     i = pl.program_id(0)
 
-    px = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    py = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i * block_rows
-    asp = float(width) / float(height)
-    xf = (2.0 * (px.astype(jnp.float32) + 0.5) / float(width) - 1.0) * asp
-    yf = 2.0 * (py.astype(jnp.float32) + 0.5) / float(height) - 1.0
-    zf = jnp.full(shape, float(fov), jnp.float32)
-    inv = jax.lax.rsqrt(xf * xf + yf * yf + zf * zf)
-    dx, dy, dz = xf * inv, yf * inv, zf * inv
-    cx = jnp.cos(orient_ref[0, 0])
-    sx = jnp.sin(orient_ref[0, 0])
-    cy = jnp.cos(orient_ref[0, 1])
-    sy = jnp.sin(orient_ref[0, 1])
-    y2 = dy * cx + dz * sx
-    z1 = -dy * sx + dz * cx
-    rd = (dx * cy + z1 * sy, y2, -dx * sy + z1 * cy)
-    ro = (
-        jnp.zeros(shape, jnp.float32) + cam_ref[0, 0],
-        jnp.zeros(shape, jnp.float32) + cam_ref[0, 1],
-        jnp.zeros(shape, jnp.float32) + cam_ref[0, 2],
+    px, py, ro, rd = _raygen(
+        shape, cam_ref, orient_ref, width, height, fov, i * block_rows
     )
     no_excl = jnp.full(shape, -1, jnp.int32)
     t, oid = sk._trace(sc, ro, rd, no_excl, *counts)

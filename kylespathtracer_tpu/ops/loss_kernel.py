@@ -1,0 +1,255 @@
+"""Single-pass fused loss-and-gradient kernel: the inverse-rendering /
+training hot loop as ONE device program.
+
+The generic differentiable path (ops/frame_grad.py) runs two kernels per
+step — forward (~5 ms @1080p) then recompute-backward (~10 ms) — because a
+`custom_vjp` cannot know the loss. When the loss IS known and per-pixel
+(MSE against a target image, or a plain mean — the shapes BASELINE.json's
+inverse-rendering config and the fwd+bwd metric use), forward and backward
+collapse into one kernel: each 2-D block runs the full frame math
+(frame_kernel.frame_block) PLUS the composite + tonemap + loss in VMEM,
+and applies `jax.vjp` of that scalar-valued block function with cotangent
+1.0. Nothing is dispatched twice, no residual ever touches HBM, and the
+transposed jaxpr starts from the scalar loss so every dead output plane's
+backward chain is DCE'd.
+
+Measured at 1080p on v5e (BENCH_r04): 11.1 ms per loss+grad step vs
+16.0 ms for the two-kernel custom-VJP path — 187 Mrays/s fwd+bwd.
+
+The composite/tonemap math here is the component-plane twin of
+render/composite.composite_from + core/color (ACES + sRGB; reference:
+passthrough.frag:29-47, common.glsl:111-139), restricted to the fresh-
+history single-frame case (cnt == 1) the differentiable path uses
+(config.no_history; render/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kylespathtracer_tpu.core.color import _ACES_IN, _ACES_OUT
+from kylespathtracer_tpu.ops import frame_kernel as fk
+from kylespathtracer_tpu.ops.frame_grad import DIFF_IDX
+from kylespathtracer_tpu.scene.types import Scene
+from kylespathtracer_tpu.utils.config import RenderConfig
+
+
+def _mat3_planes(v, m):
+    """Row-vector × mat3 over component planes (core/color._mat3)."""
+    x, y, z = v
+    return (
+        x * float(m[0, 0]) + y * float(m[0, 1]) + z * float(m[0, 2]),
+        x * float(m[1, 0]) + y * float(m[1, 1]) + z * float(m[1, 2]),
+        x * float(m[2, 0]) + y * float(m[2, 1]) + z * float(m[2, 2]),
+    )
+
+
+def _composite_planes(alb, ene, add_d, add_s, brightness):
+    """composite_from + aces_fitted + linear_srgb in component form, for the
+    fresh-history case (both counts exactly 1; passthrough.frag:29-47)."""
+    out = []
+    for c in range(3):
+        pos = alb[c] > 0.0
+        alb_sqrt = jnp.where(pos, jnp.sqrt(jnp.where(pos, alb[c], 1.0)), 0.0)
+        out.append(
+            (add_d[c] * alb[c] * ene[0] + add_s[c] * alb_sqrt * ene[1])
+            * brightness
+        )
+    # ACES RRT/ODT (common.glsl:120-139).
+    cpl = _mat3_planes(tuple(out), _ACES_IN)
+    rat = []
+    for c in range(3):
+        a = cpl[c] * (cpl[c] + 0.0245786) - 0.000090537
+        b = cpl[c] * (0.983729 * cpl[c] + 0.4329510) + 0.238081
+        rat.append(a / b)
+    cpl = _mat3_planes(tuple(rat), _ACES_OUT)
+    img = []
+    for c in range(3):
+        x = jnp.clip(cpl[c], 0.0, 1.0)
+        # linear → sRGB (common.glsl:111-113).
+        lo = 12.92 * x
+        hi = 1.055 * jnp.power(jnp.maximum(x, 1e-10), 1.0 / 2.4) - 0.055
+        img.append(jnp.where(x <= 0.0031308, lo, hi))
+    return img
+
+
+def _loss_grad_kernel(
+    *refs,
+    counts, nK, gloss, width, height, fov, block_rows, block_cols,
+    soft_beta, smp, decorrelate, brightness, loss, n_tgt,
+):
+    in_refs = refs[:20]
+    tgt_refs = refs[20:20 + n_tgt]
+    loss_ref = refs[20 + n_tgt]
+    out_refs = refs[21 + n_tgt:]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    vals = [r[:] for r in in_refs]
+    frame = vals[19][0, 0]
+    diff_in = tuple(vals[k] for k in DIFF_IDX)
+    shape = (block_rows, block_cols)
+
+    # Mask padded pixels out of the loss (blocks may overhang the image).
+    px = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + j * block_cols
+    py = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i * block_rows
+    in_img = ((px < width) & (py < height)).astype(jnp.float32)
+
+    def f(diff_vals):
+        v = list(vals)
+        for k, dv in zip(DIFF_IDX, diff_vals):
+            v[k] = dv
+        sc = dict(zip(fk.SC_KEYS, v[:17]))
+        outs = fk.frame_block(
+            sc, v[17], v[18], frame, i * block_rows,
+            counts=counts, nK=nK, gloss=gloss, width=width, height=height,
+            fov=fov, block_rows=block_rows, soft_beta=soft_beta,
+            block_cols=block_cols, col0=j * block_cols, smp=smp,
+            decorrelate=decorrelate,
+        )
+        img = _composite_planes(
+            outs[6:9], outs[9:11], outs[0:3], outs[3:6], brightness
+        )
+        acc = jnp.zeros(shape, jnp.float32)
+        for c in range(3):
+            if loss == "mse":
+                r = img[c] - tgt_refs[c][:]
+                acc = acc + r * r
+            else:  # "mean" (un-normalized sum; caller divides)
+                acc = acc + img[c]
+        return jnp.sum(acc * in_img)
+
+    lval, vjp = jax.vjp(f, diff_in)
+    (grads,) = vjp(jnp.float32(1.0))
+
+    first = (i == 0) & (j == 0)
+    for ref, g in zip((loss_ref, *out_refs), (lval.reshape(1, 1), *grads)):
+        @pl.when(first)
+        def _(ref=ref, g=g):
+            ref[:] = g
+
+        @pl.when(jnp.logical_not(first))
+        def _(ref=ref, g=g):
+            ref[:] = ref[:] + g
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def render_loss_and_grad(
+    scene: Scene,
+    camera,
+    frame,
+    config: RenderConfig,
+    target: jnp.ndarray | None = None,
+    loss: str = "mse",
+    block_rows: int = 8,
+    block_cols: int | None = None,
+    interpret: bool = False,
+):
+    """One fused kernel pass → (loss, grads) for the single-frame render.
+
+    loss="mse": mean((image - target)**2) over H*W*3 (target f32[H,W,3]).
+    loss="mean": mean(image) — the bench's fwd+bwd pixel loss.
+    Returns (loss_scalar, grads) with grads a tuple in DIFF_IDX order
+    (planes, spheres, boxes, light_color, light, s0, s1, alb_const,
+    alb_scale, emission, en_const, en_scale, cam, orient) — the same order
+    frame_grad.frame_backward_pallas returns, for reuse of its assembly.
+    """
+    if loss not in ("mse", "mean"):
+        raise ValueError(f"unknown loss {loss!r}")
+    if loss == "mse" and target is None:
+        raise ValueError("loss='mse' needs a target image")
+    H, W = config.height, config.width
+    if block_cols is None:
+        block_cols = min(1024, _round_up(W, 128))
+    Hp = _round_up(H, block_rows)
+    Wp = _round_up(W, block_cols)
+
+    ops = fk.small_operands(scene, camera, frame)
+    counts = (
+        int(scene.planes.shape[0]),
+        int(scene.spheres.shape[0]),
+        int(scene.boxes.shape[0]),
+    )
+
+    tgt_planes = []
+    if loss == "mse":
+        def pad(a):
+            if a.shape == (Hp, Wp):
+                return a
+            return jnp.pad(a, ((0, Hp - a.shape[0]), (0, Wp - a.shape[1])))
+
+        tgt_planes = [pad(target[..., c]) for c in range(3)]
+
+    kernel = functools.partial(
+        _loss_grad_kernel,
+        counts=counts, nK=int(scene.materials.s0.shape[0]),
+        gloss=config.gloss, width=W, height=H, fov=config.fov,
+        block_rows=block_rows, block_cols=block_cols,
+        soft_beta=float(config.soft_shadows), smp=fk.smp_of(config),
+        decorrelate=bool(config.decorrelate_samples),
+        brightness=float(config.brightness), loss=loss,
+        n_tgt=len(tgt_planes),
+    )
+
+    small = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    img_spec = lambda: pl.BlockSpec(
+        (block_rows, block_cols), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    acc = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+
+    out_shape = [jax.ShapeDtypeStruct((1, 1), jnp.float32)] + [
+        jax.ShapeDtypeStruct(ops[k].shape, jnp.float32) for k in DIFF_IDX
+    ]
+    out_specs = [acc((1, 1))] + [acc(ops[k].shape) for k in DIFF_IDX]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Hp // block_rows, Wp // block_cols),
+        in_specs=[small() for _ in range(20)]
+        + [img_spec() for _ in tgt_planes],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*ops, *tgt_planes)
+
+    n = float(H * W * 3)
+    lval = outs[0].reshape(()) / n
+    grads = tuple(g / n for g in outs[1:])
+    return lval, grads
+
+
+def loss_and_grad(
+    scene: Scene,
+    camera,
+    frame,
+    config: RenderConfig,
+    target: jnp.ndarray | None = None,
+    loss: str = "mse",
+    interpret: bool = False,
+):
+    """`render_loss_and_grad` with grads assembled into (d_scene, d_camera)
+    pytrees — a drop-in for `jax.value_and_grad` of the single-frame image
+    loss, at single-kernel cost."""
+    from kylespathtracer_tpu.ops.frame_grad import assemble_grads
+
+    lval, grads = render_loss_and_grad(
+        scene, camera, frame, config, target=target, loss=loss,
+        interpret=interpret,
+    )
+    d_scene, d_camera = assemble_grads(
+        scene, camera, grads, int(scene.light_index)
+    )
+    return lval, (d_scene, d_camera)

@@ -92,6 +92,24 @@ def render_frame_fused(
     from kylespathtracer_tpu.render.passes import Channel, _temporal_clamp
 
     interpret = _jax.default_backend() != "tpu"
+
+    if not config.no_history and config.reproject_backend == "window":
+        # The fully fused temporal frame: shade + windowed reprojection +
+        # velocity clamp + accumulate in ONE kernel (ops/frame_hist.py) —
+        # no separate reprojection launches, no XLA tail beyond composite.
+        # Forward-only, like the window reprojection it absorbs (the
+        # differentiable path is no_history below).
+        from kylespathtracer_tpu.ops import frame_hist as fh
+
+        o = fh.frame_hist_pallas(
+            scene, camera, history.camera, history.diffuse, history.specular,
+            frame, config, interpret=interpret,
+        )
+        d = Channel(rgb=o["d_rgb"], cnt=o["d_cnt"], oid=o["oid"])
+        s = Channel(rgb=o["s_rgb"], cnt=o["s_cnt"], oid=o["oid"])
+        image = comp_mod.composite_from(o["alb"], o["ene"], d, s, config)
+        return image, History(diffuse=d, specular=s, camera=camera)
+
     out = fg.frame_forward(scene, camera, frame, config, interpret=interpret)
     ho = out["oid"]
 
@@ -112,26 +130,20 @@ def render_frame_fused(
     fac = gmath.EPS / jnp.sqrt(jnp.maximum(gmath.EPS, out["curv"]))
     sl = hl + rd * (light_dist * fac)[..., None]
 
+    # reproject_backend == "xla": exact arbitrary-motion gather (slow on
+    # TPU, differentiable; the "window" backend returned above).
     vv = gmath.length(camera.loc - history.camera.loc)
     prev = history.camera
-    if config.reproject_backend == "window":
-        from kylespathtracer_tpu.ops import reproject_kernel as rk
-
-        (rep_rgb_d, rep_cnt_d), (rep_rgb_s, rep_cnt_s) = rk.reproject_pallas(
-            prev, hl, sl, ho, history.diffuse, history.specular, config.fov,
-            window=config.reproject_window, interpret=interpret,
-        )
-    else:
-        rep_rgb_d, rep_cnt_d = rep_mod.reproject(
-            prev.loc, prev.orient, hl, ho,
-            history.diffuse.rgb, history.diffuse.cnt, history.diffuse.oid,
-            config.fov,
-        )
-        rep_rgb_s, rep_cnt_s = rep_mod.reproject(
-            prev.loc, prev.orient, sl, ho,
-            history.specular.rgb, history.specular.cnt, history.specular.oid,
-            config.fov,
-        )
+    rep_rgb_d, rep_cnt_d = rep_mod.reproject(
+        prev.loc, prev.orient, hl, ho,
+        history.diffuse.rgb, history.diffuse.cnt, history.diffuse.oid,
+        config.fov,
+    )
+    rep_rgb_s, rep_cnt_s = rep_mod.reproject(
+        prev.loc, prev.orient, sl, ho,
+        history.specular.rgb, history.specular.cnt, history.specular.oid,
+        config.fov,
+    )
     rep_cnt_d = jnp.floor(rep_cnt_d)
     rep_cnt_s = jnp.floor(rep_cnt_s)
     rep_rgb_d, rep_cnt_d = _temporal_clamp(rep_rgb_d, rep_cnt_d, vv, config)
