@@ -149,46 +149,6 @@ def _blocked_once(step, iters: int, rtt: float) -> float:
     return max((time.perf_counter() - t0) / iters - rtt, 1e-9) * 1e3
 
 
-def _timed(step, sync_out, iters: int, rtt: float, tag: str):
-    """Time `step(i) -> outputs` two ways and reconcile.
-
-    * blocked:   every frame fully synced (minus the measured host roundtrip)
-    * pipelined: frames queued back-to-back, one final sync; outputs chain
-                 through the loop state so the final sync awaits every frame
-    Returns the honest per-iteration seconds: the pipelined figure, unless it
-    is implausibly faster than the blocked one (overlap can hide host
-    dispatch, not device compute), in which case the blocked figure wins.
-    """
-    # Blocked.
-    t0 = time.perf_counter()
-    for i in range(iters):
-        _sync(sync_out(step(i)))
-    dt_blocked_raw = (time.perf_counter() - t0) / iters
-    dt_blocked = max(dt_blocked_raw - rtt, 1e-9)
-
-    # Pipelined.
-    t0 = time.perf_counter()
-    out = None
-    for i in range(iters):
-        out = step(iters + i)
-    _sync(sync_out(out))
-    dt_pipe = (time.perf_counter() - t0) / iters
-
-    artifact = dt_pipe < dt_blocked / 3.0
-    dt = dt_blocked if artifact else dt_pipe
-    stderr_json(
-        metric=f"{tag}_timing_detail",
-        blocked_ms=round(dt_blocked_raw * 1e3, 2),
-        blocked_minus_rtt_ms=round(dt_blocked * 1e3, 2),
-        pipelined_ms=round(dt_pipe * 1e3, 2),
-        rtt_ms=round(rtt * 1e3, 2),
-        reported_ms=round(dt * 1e3, 2),
-        pipelined_rejected=bool(artifact),
-        iters=iters,
-    )
-    return dt
-
-
 def bench_forward(scene, camera, rtt, width=1920, height=1080, iters=8):
     """Fused-pipeline forward frames (history carried through the scan, so
     every frame pays the real reprojection + temporal accumulation cost);

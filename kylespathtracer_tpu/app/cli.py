@@ -127,6 +127,8 @@ def cmd_invert(args):
         log_every=args.log_every,
         views=args.views,
         betas=tuple(args.betas),
+        ckpt_dir=args.ckpt_dir,
+        resume=args.resume,
     )
     print(json.dumps(result))
 
@@ -164,6 +166,10 @@ def main(argv=None):
     _add_size(p, w=192, h=128)
     p.add_argument("--spheres", type=int, default=10)
     p.add_argument("--steps", type=int, default=800)
+    p.add_argument("--ckpt-dir", default=None,
+                   help="checkpoint (scene, optimizer) after every beta phase")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest phase checkpoint in --ckpt-dir")
     p.add_argument("--lr", type=float, default=2e-2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=25)

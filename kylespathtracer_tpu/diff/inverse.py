@@ -169,7 +169,13 @@ def fit(
     # kernel (ops/loss_kernel.py): forward, composite, MSE and backward in a
     # single device program — ~1.4x the two-kernel custom-VJP step and ~40x
     # the XLA pass path. The per-view MSE it computes is exactly loss_fn's.
-    use_fused_loss = config.pipeline == "fused"
+    # KPT_FUSED_LOSS=0 forces the generic custom-VJP path (A/B debugging).
+    import os as _os
+
+    use_fused_loss = (
+        config.pipeline == "fused"
+        and _os.environ.get("KPT_FUSED_LOSS", "1") != "0"
+    )
 
     def value_and_grad_step(params, scene0, camera, tgt, frame):
         if not use_fused_loss:
@@ -258,6 +264,9 @@ def run_recovery(
     perturb: float = 0.35,
     betas: tuple = (0.05, 0.02, 0.008, 0.003),
     views: int = 3,
+    ckpt_dir: str | None = None,
+    resume: bool = False,
+    max_phases: int | None = None,
 ):
     """The BASELINE north-star demo: recover an N-sphere scene's positions,
     radii and albedos from rendered targets, starting from a perturbed copy.
@@ -270,7 +279,16 @@ def run_recovery(
     * Multi-view targets: `views` cameras on an arc remove the single-view
       depth/radius ambiguity.
     * Per-phase error traces in the returned dict.
-    """
+
+    Elastic recovery (SURVEY §5): pass `ckpt_dir` to checkpoint
+    (scene, optimizer state, losses, trace) after every β phase;
+    `resume=True` restores the latest phase checkpoint and continues —
+    kill + resume reproduces the uninterrupted trajectory exactly (the
+    scene/camera initialization is a pure function of `seed`, and the
+    optimizer state round-trips bit-exactly through orbax).
+    `max_phases` stops after that many phases (fault-injection hook and
+    partial-run control; the return dict then has "completed_phases" <
+    len(betas))."""
     import numpy as np
 
     from kylespathtracer_tpu.scene.scene import sphere_scene
@@ -336,7 +354,39 @@ def run_recovery(
     pipeline = "fused" if jax.default_backend() == "tpu" else "pass"
     all_losses: list[float] = []
     trace = []
+
+    start_phase = 0
+    if resume:
+        if not ckpt_dir:
+            raise ValueError("resume=True requires ckpt_dir")
+        import json as _json
+        from pathlib import Path
+
+        from kylespathtracer_tpu.utils import checkpoint as ckpt_mod
+
+        # Checkpoint the trainable params, not the whole scene: zero-row
+        # geometry tables (a sphere scene has no boxes) are unsaveable by
+        # orbax, and the non-trainable leaves are a pure function of `seed`.
+        like = {
+            "params": extract_params(scene_i),
+            "opt_state": opt.init(extract_params(scene_i)),
+        }
+        try:
+            start_phase, state = ckpt_mod.restore(ckpt_dir, like=like)
+        except FileNotFoundError:
+            state = None  # nothing saved yet: start from scratch
+        if state is not None:
+            scene_i = apply_params(scene_i, state["params"])
+            opt_state = state["opt_state"]
+            side = _json.loads((Path(ckpt_dir) / "trace.json").read_text())
+            all_losses = side["losses"]
+            trace = side["trace"][:start_phase]
+
     for phase, beta in enumerate(betas):
+        if phase < start_phase:
+            continue
+        if max_phases is not None and phase >= max_phases:
+            break
         config = RenderConfig(
             width=width, height=height, soft_shadows=float(beta),
             pipeline=pipeline,
@@ -372,11 +422,26 @@ def run_recovery(
         if log_every:
             print(f"phase {phase} (beta={beta}): loss {losses[-1]:.3e} {errs}")
 
+        if ckpt_dir:
+            import json as _json
+            from pathlib import Path
+
+            from kylespathtracer_tpu.utils import checkpoint as ckpt_mod
+
+            ckpt_mod.save(
+                ckpt_dir, phase + 1,
+                {"params": extract_params(scene_i), "opt_state": opt_state},
+            )
+            (Path(ckpt_dir) / "trace.json").write_text(
+                _json.dumps({"losses": all_losses, "trace": trace})
+            )
+
     return {
         "loss_initial": all_losses[0],
         "loss_final": all_losses[-1],
         **_param_errors(scene_gt, scene_i),
         "phases": trace,
+        "completed_phases": len(trace),
         "views": views,
         "resolution": f"{width}x{height}",
         "steps": sum(phase_steps_all),

@@ -6,15 +6,18 @@ is HBM-bandwidth-bound (≈1.1 s/frame measured in round 3's opening state).
 This module makes the fused Pallas forward (ops/frame_kernel.py)
 differentiable with a recompute-everything backward:
 
-* forward: `frame_forward_pallas`, unchanged cost (~17 ms @1080p);
-  residuals saved = (scene, camera, frame) — a few KB of parameter tables,
-  zero activation traffic.
+* forward: `frame_forward_pallas`, unchanged cost (~5 ms @1080p after the
+  round-4 occlusion-trace diet); residuals saved = (scene, camera, frame)
+  — a few KB of parameter tables, zero activation traffic.
 * backward: a second Pallas kernel over 2-D image blocks. Each block
   re-runs the forward math in VMEM (`frame_kernel.frame_block`) and applies
   `jax.vjp` of that pure block function to the incoming cotangent planes,
   accumulating the tiny d(scene)/d(camera) tables across grid steps. HBM
   traffic in the whole backward is exactly the 13 cotangent planes read
-  once — the `jax.checkpoint` FLOPs-for-bandwidth trade taken to its limit.
+  once — the `jax.checkpoint` FLOPs-for-bandwidth trade taken to its limit
+  (~10 ms @1080p; fwd+bwd 16.0 ms device-resident, BENCH_r04). When the
+  LOSS is also known and per-pixel, ops/loss_kernel.py collapses both
+  dispatches into one kernel (11.1 ms).
 
 Gradient semantics match the XLA path: analytic-intersection derivatives
 (the closed forms differentiate to the same values scene/sdf.ift_backward
@@ -114,9 +117,10 @@ def frame_backward_pallas(
     """Run the backward kernel → tuple of gradients in DIFF_IDX order."""
     H, W = config.height, config.width
     if block_cols is None:
-        # Measured sweep at 1080p: (8,1024) 15.4 ms < (16,512) 15.5 <
-        # (8,1920) 16.2 < (8,512) 18.1; (16,1024) exceeds VMEM. One f32
-        # plane at (8,1024) is 32 KB, leaving room for the transposed
+        # Round-4 sweep at 1080p (post trace-diet, scan-slope): (8,1024)
+        # 9.9 ms < (16,512) 10.5 < (8,1920 @100MB) 11.2 < (16,1024 @100MB)
+        # 11.8 < (8,512) 14.6; (16,1024)/(32,512) exceed 64 MB VMEM. One
+        # f32 plane at (8,1024) is 32 KB, leaving room for the transposed
         # jaxpr's live forward residuals under the 64 MB cap.
         block_cols = min(1024, _round_up(W, 128))
     Hp = _round_up(H, block_rows)

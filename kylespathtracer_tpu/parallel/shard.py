@@ -111,6 +111,12 @@ def render_frame_tiled(scene, camera, history, frame, config, mesh,
         ),
     )
 
+    # check_vma=False: the varying-manual-axes checker rejects replicated->
+    # P(DATA_AXIS) outputs that are only *made* device-varying by in-body
+    # axis_index row offsets (tile_fn renders different rows per device from
+    # replicated scene/camera inputs) - a false positive for this pattern.
+    # Correctness is covered numerically instead: __graft_entry__'s dryrun
+    # asserts the tiled frame equals the unsharded image.
     mapped = jax.jit(
         jax.shard_map(
             tile_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -246,6 +252,9 @@ def train_step_tiled(params, opt_state, opt, scene, camera, target, frame,
 
     in_specs = (P(), P(), P(), P(DATA_AXIS), P())
     out_specs = (P(), P(), P())
+    # check_vma=False for the same reason as render_frame_tiled above (the
+    # per-device row offset comes from axis_index, not a sharded operand);
+    # the dryrun asserts sharded grads/updates match single-device.
     mapped = jax.jit(
         jax.shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                       check_vma=False)
