@@ -269,7 +269,9 @@ def frame_hist_pallas(
     oid), all full-frame arrays (rgb/alb stacked [...,3], ene [...,2])."""
     H, W = config.height, config.width
     if block_rows is None:
-        block_rows = max(8, min(32, 65536 // (W * 4)))
+        # Multiple of 8 (sublane tiling): 65536//(1280*4)=12 would violate
+        # the Mosaic block-shape constraint at 720p.
+        block_rows = max(8, min(32, (65536 // (W * 4)) & ~7))
     K = min(config.reproject_window, block_rows)
     nb = -(-H // block_rows)
     Hp = nb * block_rows

@@ -231,16 +231,17 @@ def _frame_kernel(
     counts, nK, gloss, width, height, fov, block_rows, soft_beta, smp,
     decorrelate,
 ):
-    in_refs, out_refs = refs[:20], refs[20:]
+    in_refs, out_refs = refs[:21], refs[21:]
     # Refs go into frame_block directly: scalar reads like planes_ref[i, k]
     # stay scalar-register loads. Materializing the tables with ref[:] first
     # turns every scene scalar into a vector extract + lane broadcast, which
     # costs ~1.8 MB of VMEM at 1080p — over the scoped-vmem cliff.
     sc = dict(zip(SC_KEYS, in_refs[:17]))
-    cam_ref, orient_ref, frame_ref = in_refs[17:]
+    cam_ref, orient_ref, frame_ref, row0_ref = in_refs[17:]
     i = pl.program_id(0)
     outs = frame_block(
-        sc, cam_ref, orient_ref, frame_ref[0, 0], i * block_rows,
+        sc, cam_ref, orient_ref, frame_ref[0, 0],
+        row0_ref[0, 0] + i * block_rows,
         counts=counts, nK=nK, gloss=gloss, width=width, height=height,
         fov=fov, block_rows=block_rows, soft_beta=soft_beta, smp=smp,
         decorrelate=decorrelate,
@@ -284,17 +285,27 @@ def frame_forward_pallas(
     config: RenderConfig,
     block_rows: int | None = None,
     interpret: bool = False,
+    row_base: int = 0,
+    rows: int | None = None,
 ):
     """Run the fused forward kernel → dict of full-frame planes.
 
     Returns {"add_d","add_s","alb": f32[H,W,3]; "ene": f32[H,W,2];
     "depth","curv": f32[H,W]; "oid": i32[H,W]}.
+
+    `row_base`/`rows` restrict the render to image rows
+    [row_base, row_base+rows) — the per-device tile of the sharded renderer
+    (parallel/shard.py). The NDC mapping, seeds, and ray grid stay those of
+    the FULL config.height image, so the tiles are bitwise the matching
+    rows of the unsharded frame.
     """
-    H, W = config.height, config.width
+    H, W = (rows if rows is not None else config.height), config.width
     if block_rows is None:
         # Keep one (block_rows, W) f32 plane at ≲64 KB so the many live
         # planes of the shade core fit VMEM; at least 8 sublanes.
-        block_rows = max(8, min(32, 65536 // (W * 4)))
+        # Multiple of 8 (sublane tiling): 65536//(1280*4)=12 would violate
+        # the Mosaic block-shape constraint at 720p.
+        block_rows = max(8, min(32, (65536 // (W * 4)) & ~7))
     Hp = -(-H // block_rows) * block_rows
 
     counts = (
@@ -310,7 +321,7 @@ def frame_forward_pallas(
         nK=nK,
         gloss=config.gloss,
         width=W,
-        height=H,
+        height=config.height,  # full-image NDC/seed mapping, even for tiles
         fov=config.fov,
         block_rows=block_rows,
         soft_beta=float(config.soft_shadows),
@@ -329,7 +340,7 @@ def frame_forward_pallas(
     outs = pl.pallas_call(
         kernel,
         grid=(Hp // block_rows,),
-        in_specs=[small() for _ in range(20)],
+        in_specs=[small() for _ in range(21)],
         out_specs=[img() for _ in range(14)],
         out_shape=[f32] * 13 + [i32],
         # The shade core keeps many live full-width planes per block; the
@@ -338,7 +349,10 @@ def frame_forward_pallas(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(*small_operands(scene, camera, frame))
+    )(
+        *small_operands(scene, camera, frame),
+        jnp.asarray(row_base, jnp.int32).reshape(1, 1),
+    )
     return assemble_planes(outs, H)
 
 

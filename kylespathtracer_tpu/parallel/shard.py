@@ -146,25 +146,46 @@ def _render_row_block(scene, camera, full_prev_hist, frame, config, row0, rows,
 
     W, H = config.width, config.height
     rd = ray_dirs_window(camera, W, H, row0, rows, config.fov)
-    ro = jnp.broadcast_to(camera.loc, rd.shape)
-    if config.intersect_mode == "analytic":
-        t, oid = isect.intersect(scene, ro, rd, -1, config.steps)
+
+    fused = config.pipeline == "fused"
+    if fused:
+        # Production multi-chip path: the fused Pallas frame kernel runs on
+        # this device's rows (row_base offsets the in-kernel pixel grid so
+        # NDC/seeds match the full image bitwise); only the reprojection
+        # gather below reads the halo'd history window.
+        import jax as _jax
+
+        from kylespathtracer_tpu.ops import frame_kernel as fk
+
+        out = fk.frame_forward_pallas(
+            scene, camera, frame, config,
+            interpret=_jax.default_backend() != "tpu",
+            row_base=row0, rows=rows,
+        )
+        oid = out["oid"]
+        depth = out["depth"]
+        curv = out["curv"]
     else:
-        t, oid = sdf_mod.march(scene, ro, rd, -1, config.steps)
-    hit = oid > 0
-    hl_full = ro + rd * t[..., None]
-    if gb_mod.use_tetra_normals(config):
-        n, curv = sdf_mod.norcurv(scene, hl_full)
-    else:
-        from kylespathtracer_tpu.scene import normals as nrm_mod
-        n, curv = nrm_mod.normal_curv(scene, hl_full, oid)
-    n = jnp.where(hit[..., None], n, 0.0)
-    gb = gb_mod.GBuffer(
-        normal=n, obj_id=oid, depth=t - gmath.EPS, ray_dir=rd, curv=curv
-    )
+        ro = jnp.broadcast_to(camera.loc, rd.shape)
+        if config.intersect_mode == "analytic":
+            t, oid = isect.intersect(scene, ro, rd, -1, config.steps)
+        else:
+            t, oid = sdf_mod.march(scene, ro, rd, -1, config.steps)
+        hit = oid > 0
+        hl_full = ro + rd * t[..., None]
+        if gb_mod.use_tetra_normals(config):
+            n, curv = sdf_mod.norcurv(scene, hl_full)
+        else:
+            from kylespathtracer_tpu.scene import normals as nrm_mod
+            n, curv = nrm_mod.normal_curv(scene, hl_full, oid)
+        n = jnp.where(hit[..., None], n, 0.0)
+        depth = t - gmath.EPS
+        gb = gb_mod.GBuffer(
+            normal=n, obj_id=oid, depth=depth, ray_dir=rd, curv=curv
+        )
 
     prev_cam = full_prev_hist.camera
-    hl = camera.loc + rd * gb.depth[..., None]
+    hl = camera.loc + rd * depth[..., None]
     px = jnp.broadcast_to(
         jnp.arange(W, dtype=jnp.int32)[None, :], (rows, W)
     )
@@ -175,7 +196,7 @@ def _render_row_block(scene, camera, full_prev_hist, frame, config, row0, rows,
     vv = gmath.length(camera.loc - prev_cam.loc)
 
     light_dist = gmath.length(hl - scene.light[:3])
-    fac = gmath.EPS / jnp.sqrt(jnp.maximum(gmath.EPS, gb.curv))
+    fac = gmath.EPS / jnp.sqrt(jnp.maximum(gmath.EPS, curv))
     sl = hl + rd * (light_dist * fac)[..., None]
 
     if config.no_history:
@@ -195,6 +216,12 @@ def _render_row_block(scene, camera, full_prev_hist, frame, config, row0, rows,
         rep_cnt_s = jnp.floor(rep_cnt_s)
         rep_rgb_d, rep_cnt_d = _temporal_clamp(rep_rgb_d, rep_cnt_d, vv, config)
         rep_rgb_s, rep_cnt_s = _temporal_clamp(rep_rgb_s, rep_cnt_s, vv, config)
+
+    if fused:
+        d = Channel(rgb=rep_rgb_d + out["add_d"], cnt=rep_cnt_d + 1.0, oid=oid)
+        s = Channel(rgb=rep_rgb_s + out["add_s"], cnt=rep_cnt_s + 1.0, oid=oid)
+        image = comp_mod.composite_from(out["alb"], out["ene"], d, s, config)
+        return image, History(diffuse=d, specular=s, camera=camera)
 
     trace = get_trace(config)
     _, emission, _ = mat_mod.surface(scene.materials, oid, hl)

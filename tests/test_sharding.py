@@ -3,6 +3,7 @@ equal unsharded, the sharded train step must run, and the driver dryrun must
 pass."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -119,3 +120,39 @@ def test_shard_map_train_step():
     assert np.isfinite(float(loss))
     # The update actually changed the parameters.
     assert not np.allclose(np.asarray(p2["spheres"]), np.asarray(params["spheres"]))
+
+
+@pytest.mark.slow
+def test_tiled_fused_matches_unsharded():
+    """The production multi-chip path — the fused Pallas kernel running on
+    each device's row tile (frame_forward_pallas row_base/rows) behind the
+    ppermute history halo — reproduces the unsharded fused frame over a
+    moving 2-frame sequence. (Slow: interpret-mode pallas on the CPU mesh.)
+    Measured on TPU: row-window tiles are bitwise the matching rows of the
+    full-frame kernel."""
+    from kylespathtracer_tpu.parallel import shard as shard_mod
+
+    cfg = RenderConfig(width=64, height=32, pipeline="fused")
+    mesh = mesh_mod.make_mesh(8)
+    cams = [
+        Camera.create(loc=(3.0, 2.0, -3.0), orient=(0.0, 0.7)),
+        Camera.create(loc=(3.02, 2.0, -3.01), orient=(0.001, 0.7)),
+    ]
+
+    hist = init_history(cfg, cams[0])
+    img_ref = None
+    for i, cam in enumerate(cams):
+        img_ref, hist = render_frame(
+            default_scene(), cam, hist, jnp.asarray(i, jnp.int32), cfg
+        )
+
+    hist = init_history(cfg, cams[0])
+    img_t = None
+    for i, cam in enumerate(cams):
+        img_t, hist = shard_mod.render_frame_tiled(
+            default_scene(), cam, hist, jnp.asarray(i, jnp.int32),
+            cfg, mesh,
+        )
+    np.testing.assert_allclose(
+        np.asarray(img_t), np.asarray(img_ref), atol=1e-5
+    )
