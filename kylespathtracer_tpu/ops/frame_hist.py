@@ -125,28 +125,46 @@ def _set_kernel_dyn(planes15, ho, dyrel, dxrel, w4, bh, K, acc_refs):
     assembled lazily from the (below, cur, above) block refs *inside* the
     live branches, so the dead offsets cost no VMEM copies either."""
     wy0, wy1, wx0, wx1 = w4
-    Y = {}
-    y_live = {}
-    for o in range(-K, K + 1):
-        Y[o] = (
-            jnp.where(dyrel == o, wy0, 0.0)
-            + jnp.where(dyrel == o - 1, wy1, 0.0)
+
+    # Liveness bounds: the per-axis offset range actually touched by any
+    # nonzero tap weight, as FOUR masked min/max scalar reductions — far
+    # cheaper than materializing all (2K+1) offset masks and any()-reducing
+    # each (which itself cost ~1 ms/frame at 1080p). A weight-zero offset
+    # inside the range enters its branch and adds exactly zero (bitwise
+    # identical); huge off-screen dyrel/dxrel values carry zero weights, so
+    # they never widen the range.
+    big = jnp.int32(1 << 30)
+
+    def _bounds(rel, w0, w1):
+        lo = jnp.minimum(
+            jnp.min(jnp.where(w0 > 0.0, rel, big)),
+            jnp.min(jnp.where(w1 > 0.0, rel + 1, big)),
         )
-        y_live[o] = jnp.any(Y[o] != 0.0)
+        hi = jnp.maximum(
+            jnp.max(jnp.where(w0 > 0.0, rel, -big)),
+            jnp.max(jnp.where(w1 > 0.0, rel + 1, -big)),
+        )
+        return lo, hi
+
+    ylo, yhi = _bounds(dyrel, wy0, wy1)
+    xlo, xhi = _bounds(dxrel, wx0, wx1)
 
     W = dyrel.shape[1]
     for l in range(-K, K + 1):
-        X = (
-            jnp.where(dxrel == l, wx0, 0.0)
-            + jnp.where(dxrel == l - 1, wx1, 0.0)
-        )
-
-        @pl.when(jnp.any(X != 0.0))
-        def _(l=l, X=X):
+        @pl.when((l >= xlo) & (l <= xhi))
+        def _(l=l):
+            X = (
+                jnp.where(dxrel == l, wx0, 0.0)
+                + jnp.where(dxrel == l - 1, wx1, 0.0)
+            )
             shift = (-l) % W
             for o in range(-K, K + 1):
-                @pl.when(y_live[o])
+                @pl.when((o >= ylo) & (o <= yhi))
                 def _(o=o, X=X, shift=shift):
+                    Y = (
+                        jnp.where(dyrel == o, wy0, 0.0)
+                        + jnp.where(dyrel == o - 1, wy1, 0.0)
+                    )
                     rows = []
                     for k in range(5):
                         below = planes15[k]
@@ -166,7 +184,7 @@ def _set_kernel_dyn(planes15, ho, dyrel, dxrel, w4, bh, K, acc_refs):
                         if shift:
                             r_ = pltpu.roll(r_, shift, axis=1)
                         rows.append(r_)
-                    coeff = jnp.where(rows[4] == ho, Y[o] * X, 0.0)
+                    coeff = jnp.where(rows[4] == ho, Y * X, 0.0)
                     for c in range(4):
                         acc_refs[c][:] = acc_refs[c][:] + coeff * rows[c]
 
