@@ -325,10 +325,12 @@ def path_block(
             hl[1] + n[1] * gmath.EPS,
             hl[2] + n[2] * gmath.EPS,
         )
-        # Shadow rays use the near-root trace (wavefront.py does not pass
-        # inside_hits to the NEE visibility intersect).
-        _, vis_id = sk._trace(sc, ro_off, l_wi, oid, *counts)
-        visible = vis_id == light_id
+        # Shadow rays use near-root semantics (wavefront.py does not pass
+        # inside_hits to the NEE visibility intersect). Occlusion-style:
+        # `nearest hit == light` without the nearest-(t,id) sweep — the
+        # rounded box collapses to the convex segment-distance test
+        # (sk._light_visible; same trace diet as the frame kernel).
+        visible = sk._light_visible(sc, counts, ro_off, l_wi, oid)
         f_cos, b_pdf = _bsdf_eval_pdf(kind, rho_d, rho_s, n, wo, l_wi, gloss)
         w_nee = l_pdf / jnp.maximum(1e-12, l_pdf + b_pdf)
         nee_on = hit & visible & l_ok & ~is_light
