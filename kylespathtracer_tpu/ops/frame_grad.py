@@ -54,7 +54,7 @@ def _f0(x):
 
 def _frame_bwd_kernel(
     *refs, counts, nK, gloss, width, height, fov, block_rows, block_cols,
-    soft_beta, smp, decorrelate, present,
+    soft_beta, smp, decorrelate, biased, present,
 ):
     n_present = sum(present)
     in_refs = refs[:20]
@@ -77,7 +77,7 @@ def _frame_bwd_kernel(
             counts=counts, nK=nK, gloss=gloss, width=width, height=height,
             fov=fov, block_rows=block_rows, soft_beta=soft_beta,
             block_cols=block_cols, col0=j * block_cols, smp=smp,
-            decorrelate=decorrelate,
+            decorrelate=decorrelate, biased=biased,
         )
         # Only the float planes whose cotangent is symbolically nonzero
         # (`present`); oid carries none. The transposed jaxpr then DCEs the
@@ -151,7 +151,8 @@ def frame_backward_pallas(
         counts=counts, nK=nK, gloss=config.gloss, width=W, height=H,
         fov=config.fov, block_rows=block_rows, block_cols=block_cols,
         soft_beta=float(config.soft_shadows), smp=fk.smp_of(config),
-        decorrelate=bool(config.decorrelate_samples), present=present,
+        decorrelate=bool(config.decorrelate_samples),
+        biased=bool(config.biased), present=present,
     )
 
     def pad(a):

@@ -192,7 +192,7 @@ def _set_kernel_dyn(planes15, ho, dyrel, dxrel, w4, bh, K, acc_refs):
 def _frame_hist_kernel(
     *refs,
     counts, nK, gloss, width, height, fov, block_rows, soft_beta, smp,
-    decorrelate, K, temporal,
+    decorrelate, biased, K, temporal,
 ):
     in_refs = refs[:52]
     out_refs = refs[52:66]
@@ -208,7 +208,7 @@ def _frame_hist_kernel(
         sc, cam_ref, orient_ref, frame_ref[0, 0], row0,
         counts=counts, nK=nK, gloss=gloss, width=width, height=height,
         fov=fov, block_rows=block_rows, soft_beta=soft_beta, smp=smp,
-        decorrelate=decorrelate,
+        decorrelate=decorrelate, biased=biased,
     )
     add_d = outs[0:3]
     add_s = outs[3:6]
@@ -312,7 +312,8 @@ def frame_hist_pallas(
         counts=counts, nK=nK, gloss=config.gloss, width=W, height=H,
         fov=config.fov, block_rows=block_rows,
         soft_beta=float(config.soft_shadows), smp=fk.smp_of(config),
-        decorrelate=bool(config.decorrelate_samples), K=K,
+        decorrelate=bool(config.decorrelate_samples),
+        biased=bool(config.biased), K=K,
         temporal=float(config.temporal),
     )
 

@@ -15,7 +15,10 @@ stay in XLA where a gather is one fused op.
 
 All math is the component-plane style of ops/shade_kernel.py (which
 provides the shade core); normals/curvature are the closed forms of
-scene/normals.py. Forward-only: gradients route through the XLA pipeline.
+scene/normals.py. The full quality config runs in-kernel: smp_* loops,
+BIASED on (dual-MIS) or off (the unbiased ground-truth estimators,
+common.glsl:394-415). Gradients: ops/frame_grad.py wraps this forward in a
+custom VJP with a recompute backward kernel.
 """
 
 from __future__ import annotations
@@ -150,7 +153,7 @@ def _raygen(shape, cam, orient, width, height, fov, row0, col0=0):
 def frame_block(
     sc, cam, orient, frame, row0,
     *, counts, nK, gloss, width, height, fov, block_rows, soft_beta=0.0,
-    block_cols=None, col0=0, smp=1, decorrelate=False,
+    block_cols=None, col0=0, smp=1, decorrelate=False, biased=True,
 ):
     """The fused frame's per-block math as a pure function of VALUES.
 
@@ -191,24 +194,30 @@ def frame_block(
     depth = t - gmath.EPS
     hl = (ro[0] + rd[0] * depth, ro[1] + rd[1] * depth, ro[2] + rd[2] * depth)
 
-    # Dual-MIS estimators (common.glsl:430-616), averaged over the smp
-    # per-strategy samples exactly like mis.dual_mis: per-sample streams via
-    # _fold_seed, statically unrolled so each iteration's intermediates die
-    # before the next.
-    est_d = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
-    est_s = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
-    for i in range(smp):
-        ed, es = sk._shade_core(
-            sc, counts, nK, gloss, hn, rd, oid, hl,
-            _fold_seed(seed, i, decorrelate), soft_beta=soft_beta,
+    if biased:
+        # Dual-MIS estimators (common.glsl:430-616), averaged over the smp
+        # per-strategy samples exactly like mis.dual_mis: per-sample streams
+        # via _fold_seed, statically unrolled so each iteration's
+        # intermediates die before the next.
+        est_d = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
+        est_s = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
+        for i in range(smp):
+            ed, es = sk._shade_core(
+                sc, counts, nK, gloss, hn, rd, oid, hl,
+                _fold_seed(seed, i, decorrelate), soft_beta=soft_beta,
+            )
+            for c in range(3):
+                est_d[c] = est_d[c] + ed[c]
+                est_s[c] = est_s[c] + es[c]
+        if smp > 1:
+            inv_smp = 1.0 / float(smp)
+            est_d = [e * inv_smp for e in est_d]
+            est_s = [e * inv_smp for e in est_s]
+    else:
+        # Unbiased ground-truth mode (BIASED off, common.glsl:394-415).
+        est_d, est_s = sk._shade_core_unbiased(
+            sc, counts, gloss, hn, rd, oid, hl, seed, smp, decorrelate
         )
-        for c in range(3):
-            est_d[c] = est_d[c] + ed[c]
-            est_s[c] = est_s[c] + es[c]
-    if smp > 1:
-        inv_smp = 1.0 / float(smp)
-        est_d = [e * inv_smp for e in est_d]
-        est_s = [e * inv_smp for e in est_s]
 
     # Emission + primary material for reprojection add / composite
     # (diffuse.frag:54-56; passthrough.frag:39-41).
@@ -229,7 +238,7 @@ def frame_block(
 def _frame_kernel(
     *refs,
     counts, nK, gloss, width, height, fov, block_rows, soft_beta, smp,
-    decorrelate,
+    decorrelate, biased,
 ):
     in_refs, out_refs = refs[:21], refs[21:]
     # Refs go into frame_block directly: scalar reads like planes_ref[i, k]
@@ -244,7 +253,7 @@ def _frame_kernel(
         row0_ref[0, 0] + i * block_rows,
         counts=counts, nK=nK, gloss=gloss, width=width, height=height,
         fov=fov, block_rows=block_rows, soft_beta=soft_beta, smp=smp,
-        decorrelate=decorrelate,
+        decorrelate=decorrelate, biased=biased,
     )
     for ref, val in zip(out_refs, outs):
         ref[:] = val
@@ -327,6 +336,7 @@ def frame_forward_pallas(
         soft_beta=float(config.soft_shadows),
         smp=smp_of(config),
         decorrelate=bool(config.decorrelate_samples),
+        biased=bool(config.biased),
     )
 
     small = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -464,5 +474,6 @@ def frame_forward_jnp(scene: Scene, camera, frame, config: RenderConfig):
         gloss=config.gloss, width=W, height=H, fov=config.fov,
         block_rows=H, soft_beta=float(config.soft_shadows),
         smp=smp_of(config), decorrelate=bool(config.decorrelate_samples),
+        biased=bool(config.biased),
     )
     return assemble_planes(outs, H)

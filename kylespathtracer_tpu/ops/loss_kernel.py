@@ -81,7 +81,7 @@ def _composite_planes(alb, ene, add_d, add_s, brightness):
 def _loss_grad_kernel(
     *refs,
     counts, nK, gloss, width, height, fov, block_rows, block_cols,
-    soft_beta, smp, decorrelate, brightness, loss, n_tgt,
+    soft_beta, smp, decorrelate, biased, brightness, loss, n_tgt,
 ):
     in_refs = refs[:20]
     tgt_refs = refs[20:20 + n_tgt]
@@ -110,7 +110,7 @@ def _loss_grad_kernel(
             counts=counts, nK=nK, gloss=gloss, width=width, height=height,
             fov=fov, block_rows=block_rows, soft_beta=soft_beta,
             block_cols=block_cols, col0=j * block_cols, smp=smp,
-            decorrelate=decorrelate,
+            decorrelate=decorrelate, biased=biased,
         )
         img = _composite_planes(
             outs[6:9], outs[9:11], outs[0:3], outs[3:6], brightness
@@ -195,6 +195,7 @@ def render_loss_and_grad(
         block_rows=block_rows, block_cols=block_cols,
         soft_beta=float(config.soft_shadows), smp=fk.smp_of(config),
         decorrelate=bool(config.decorrelate_samples),
+        biased=bool(config.biased),
         brightness=float(config.brightness), loss=loss,
         n_tgt=len(tgt_planes),
     )

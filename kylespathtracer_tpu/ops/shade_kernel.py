@@ -570,6 +570,59 @@ def _roulette(sc, counts, dirs, ws, hl, ho, pre, energy_channel, nP):
     return [jnp.where(ok, contrib[c] * boost, 0.0) for c in range(3)]
 
 
+# ------------------------------------------ unbiased ground-truth (G11)
+
+def _logit3(v):
+    """common.glsl:48-51, component form: logit-warp ≈ gaussian."""
+    out = []
+    for c in v:
+        t = 0.988 * (c + 0.006)
+        out.append(jnp.log(t / (1.0 - t)) * 0.221 + 0.5)
+    return out
+
+
+def _cos_hemi_dir(hn, seed):
+    """cosHemiDir (common.glsl:182-185): normalize(n + uniformDir·ieps)."""
+    u = _weyl3(seed)
+    g = _logit3(u)
+    s = (g[0] * 2.0 - 1.0, g[1] * 2.0 - 1.0, g[2] * 2.0 - 1.0)
+    d = _normalize(s)
+    return _normalize(
+        (hn[0] + d[0] * gmath.IEPS, hn[1] + d[1] * gmath.IEPS,
+         hn[2] + d[2] * gmath.IEPS)
+    )
+
+
+def _shade_core_unbiased(sc, counts, gloss, hn, rd, ho, hl, seed, smp,
+                         decorrelate):
+    """UnbiasedLambertian / UnbiasedPhong (common.glsl:394-415): cosine-
+    hemisphere and mirror-reflect brute force, light hit weighted by pdf=π
+    (lambert) / 1 (phong). The phong direction is seed-independent, so its
+    smp-loop is a single evaluation (the reference's loop adds the same
+    contribution smp times then divides)."""
+    from kylespathtracer_tpu.ops.frame_kernel import _fold_seed
+
+    est_d = [jnp.zeros_like(hl[0]) for _ in range(3)]
+    for i in range(smp):
+        si = _fold_seed(seed, i, decorrelate)
+        d = _cos_hemi_dir(hn, si)
+        vis = _light_visible(sc, counts, hl, d, ho)
+        for c in range(3):
+            est_d[c] = est_d[c] + jnp.where(
+                vis, sc["light_color"][0, c] * gmath.PI, 0.0
+            )
+    if smp > 1:
+        est_d = [e * (1.0 / float(smp)) for e in est_d]
+
+    # Plain reflect, not re-normalized (mis.unbiased_phong parity).
+    refl = _reflect(rd, hn)
+    vis_s = _light_visible(sc, counts, hl, refl, ho)
+    est_s = [
+        jnp.where(vis_s, sc["light_color"][0, c], 0.0) for c in range(3)
+    ]
+    return est_d, est_s
+
+
 # ----------------------------------------------------------- shade core
 
 def _soft_transmittance(sc, nS, hl, dl_dir, t_surf, ho, beta: float):

@@ -54,13 +54,12 @@ def render_frame(
     (reference frame loop: main.cpp:344-350)
     """
     if config.pipeline == "fused":
-        if config.biased:
-            # Unequal smp_* counts raise ValueError inside the kernel
-            # (frame_kernel.smp_of) — never silently diverge from the config.
-            return render_frame_fused(scene, camera, history, frame, config)
-        # The unbiased ground-truth estimators (common.glsl:394-415) are not
-        # implemented in-kernel; route to the pass pipeline, which honors
-        # them exactly (passes.py). Correctness over speed for a debug mode.
+        # Honors the full quality config: smp_* loops and the unbiased
+        # ground-truth estimators run in-kernel (biased=False switches
+        # frame_block to shade_kernel._shade_core_unbiased); unequal smp_*
+        # counts raise ValueError (frame_kernel.smp_of) — the fused path
+        # never silently diverges from the config.
+        return render_frame_fused(scene, camera, history, frame, config)
     gb = gb_mod.geometry_pass(scene, camera, config)
     d, s = shade_passes(
         scene, config, gb, camera, history.camera,
