@@ -203,7 +203,7 @@ def main():
         ).compile()
         text = tcomp.as_text()
         n_async = text.count("all-reduce-start")
-        n_sync = text.count(" all-reduce(") + text.count("= all-reduce(")
+        n_sync = len(re.findall(r"=\s*all-reduce\(", text))
         grad_bytes = sum(
             int(np.prod(p.shape)) * 4 for p in jax.tree_util.tree_leaves(params)
         )

@@ -192,10 +192,11 @@ def fit(
             jax.tree_util.tree_map(lambda l: l[v], camera)
             for v in range(int(tgt.shape[0]))
         ]
+        interpret = jax.default_backend() != "tpu"
         losses, gs = [], []
         for cam_v, tgt_v in zip(cams, views_t):
             lval, (d_scene, _) = lk.loss_and_grad(
-                sc, cam_v, frame, config, target=tgt_v
+                sc, cam_v, frame, config, target=tgt_v, interpret=interpret
             )
             losses.append(lval)
             gs.append(extract_params(d_scene, keys))
@@ -371,14 +372,30 @@ def run_recovery(
             "params": extract_params(scene_i),
             "opt_state": opt.init(extract_params(scene_i)),
         }
-        try:
-            start_phase, state = ckpt_mod.restore(ckpt_dir, like=like)
-        except FileNotFoundError:
-            state = None  # nothing saved yet: start from scratch
-        if state is not None:
+        # A phase is resumable only when BOTH its orbax step dir and its
+        # meta_{phase}.json sidecar exist (they are written in that order);
+        # a kill between the two writes falls back to the previous complete
+        # phase instead of resuming from a torn pair.
+        root = Path(ckpt_dir)
+        metas = {
+            int(q.stem.split("_", 1)[1])
+            for q in root.glob("meta_*.json")
+            if q.stem.split("_", 1)[1].isdigit()
+        }
+        steps_avail = {
+            int(q.name.split("_", 1)[1])
+            for q in root.glob("step_*")
+            if q.name.split("_", 1)[1].isdigit()
+        }
+        usable = sorted(metas & steps_avail)
+        if usable:
+            start_phase = usable[-1]
+            _, state = ckpt_mod.restore(ckpt_dir, step=start_phase, like=like)
             scene_i = apply_params(scene_i, state["params"])
             opt_state = state["opt_state"]
-            side = _json.loads((Path(ckpt_dir) / "trace.json").read_text())
+            side = _json.loads(
+                (root / f"meta_{start_phase}.json").read_text()
+            )
             all_losses = side["losses"]
             trace = side["trace"][:start_phase]
 
@@ -432,7 +449,9 @@ def run_recovery(
                 ckpt_dir, phase + 1,
                 {"params": extract_params(scene_i), "opt_state": opt_state},
             )
-            (Path(ckpt_dir) / "trace.json").write_text(
+            # Sidecar second: resume only trusts (step, meta) pairs where
+            # both exist, so a kill between these writes is safe.
+            (Path(ckpt_dir) / f"meta_{phase + 1}.json").write_text(
                 _json.dumps({"losses": all_losses, "trace": trace})
             )
 

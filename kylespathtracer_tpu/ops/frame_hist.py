@@ -132,17 +132,20 @@ def _set_kernel_dyn(planes15, ho, dyrel, dxrel, w4, bh, K, acc_refs):
     # each (which itself cost ~1 ms/frame at 1080p). A weight-zero offset
     # inside the range enters its branch and adds exactly zero (bitwise
     # identical); huge off-screen dyrel/dxrel values carry zero weights, so
-    # they never widen the range.
+    # they never widen the range. Masks use != 0, not > 0: border pixels
+    # whose trunc-based bilinear fraction is negative carry NEGATIVE tap
+    # weights (fu=-0.3 -> wx0=1.3, wx1=-0.3), and dropping those taps
+    # overcounted border history by up to ~60% under a pan.
     big = jnp.int32(1 << 30)
 
     def _bounds(rel, w0, w1):
         lo = jnp.minimum(
-            jnp.min(jnp.where(w0 > 0.0, rel, big)),
-            jnp.min(jnp.where(w1 > 0.0, rel + 1, big)),
+            jnp.min(jnp.where(w0 != 0.0, rel, big)),
+            jnp.min(jnp.where(w1 != 0.0, rel + 1, big)),
         )
         hi = jnp.maximum(
-            jnp.max(jnp.where(w0 > 0.0, rel, -big)),
-            jnp.max(jnp.where(w1 > 0.0, rel + 1, -big)),
+            jnp.max(jnp.where(w0 != 0.0, rel, -big)),
+            jnp.max(jnp.where(w1 != 0.0, rel + 1, -big)),
         )
         return lo, hi
 
@@ -290,6 +293,15 @@ def frame_hist_pallas(
         # Multiple of 8 (sublane tiling): 65536//(1280*4)=12 would violate
         # the Mosaic block-shape constraint at 720p.
         block_rows = max(8, min(32, (65536 // (W * 4)) & ~7))
+    if config.reproject_window > block_rows:
+        import warnings
+
+        warnings.warn(
+            f"reproject window={config.reproject_window} exceeds the fused "
+            f"temporal kernel's one-block halo (block_rows={block_rows}); "
+            f"clamping to {block_rows}. Taps beyond it restart the history.",
+            stacklevel=2,
+        )
     K = min(config.reproject_window, block_rows)
     nb = -(-H // block_rows)
     Hp = nb * block_rows

@@ -365,7 +365,11 @@ def _box_occludes(sc, bx, o, d, tmax):
         x = op[k] + d[k] * t_star
         e = x - jnp.clip(x, -half[k], half[k])
         g = g + e * e
-    return g < rnd * rnd
+    # <=, not <: a sharp box (rnd == 0) has g exactly 0 along any interior
+    # crossing — strict < would make it transparent to occlusion tests
+    # while `_trace` still hits its faces. For rnd > 0 the boundary case is
+    # exact tangency (measure-zero, inside `_trace`'s own disc fuzz).
+    return g <= rnd * rnd
 
 
 def _nearest_is_target(sc, counts, o, d, excl, t_target, target_valid,

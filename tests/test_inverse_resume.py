@@ -32,3 +32,20 @@ def test_kill_and_resume_matches_uninterrupted(tmp_path):
     assert [p["loss"] for p in resumed["phases"]] == pytest.approx(
         [p["loss"] for p in full["phases"]], rel=1e-6
     )
+
+
+def test_torn_checkpoint_pair_falls_back(tmp_path):
+    """A kill between the orbax step write and its meta sidecar must not
+    poison resume: an unpaired step is ignored (falls back to the previous
+    complete phase, or a fresh start)."""
+    d = tmp_path / "ckpt"
+    inverse.run_recovery(**KW, ckpt_dir=str(d), max_phases=1)
+    # Simulate the torn window: the meta sidecar never landed.
+    (d / "meta_1.json").unlink()
+    resumed = inverse.run_recovery(**KW, ckpt_dir=str(d), resume=True)
+    # Restarted from scratch and completed both phases.
+    assert resumed["completed_phases"] == 2
+    full = inverse.run_recovery(**KW)
+    np.testing.assert_allclose(
+        resumed["loss_final"], full["loss_final"], rtol=1e-6
+    )
