@@ -43,6 +43,12 @@ def jit_render_sharded(config: RenderConfig, mesh: Mesh):
     """GSPMD path: jitted render_frame; sharding follows the input placement
     (use `mesh.shard_image_pytree` on the history), XLA inserts the
     reprojection cross-shard gathers."""
+    if config.pipeline == "fused":
+        raise ValueError(
+            "GSPMD cannot partition the fused Pallas frame kernel; use "
+            "render_frame_tiled (shard_map), which runs the fused kernel "
+            "per row tile, or pipeline='pass' for the GSPMD path"
+        )
     fn = jax.jit(render_frame, static_argnames=("config",))
 
     def run(scene, camera, history, frame):
