@@ -2,8 +2,10 @@
 
 Fast default-suite tests exercise the kernel's MATH as plain jnp (the
 composite/tonemap twin and the block loss function built on
-frame_kernel.frame_block); the Pallas plumbing is validated on TPU by the
-bench and the inverse-recovery run (fit() routes through the kernel when
+frame_kernel.frame_block); the real `pallas_call` plumbing is validated by
+the slow interpret test tests/test_pallas_small.py::
+test_loss_kernel_pallas_call, on TPU by the bench, and by the
+inverse-recovery run (fit() routes through the kernel when
 pipeline="fused").
 """
 

@@ -10,6 +10,7 @@ stays under ~2 min on the 2-core CI box; the heavyweight interpret tests
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -87,6 +88,50 @@ def test_reproject_kernel_pallas_call():
     np.testing.assert_allclose(
         np.asarray(cnt_k), np.asarray(cnt_x), atol=1e-4
     )
+
+
+@pytest.mark.slow
+def test_loss_kernel_pallas_call():
+    """The fused loss+gradient kernel (2-block interpret grid) returns the
+    jnp twin's MSE loss value and scene gradients — validates the in-kernel
+    composite, target-plane BlockSpecs, the (1,1) loss accumulator and the
+    cross-block gradient accumulation. slow: interpret-mode evaluation of
+    the vjp'd block function runs minutes on the CI box (same cost class as
+    test_frame_grad's slow backward test — the kernel body is frame_block +
+    jax.vjp, far beyond the small-test budget); the loss kernel's MATH is
+    covered fast by tests/test_loss_kernel.py."""
+    from kylespathtracer_tpu.ops import loss_kernel as lk
+
+    H, W = 16, 128
+    cfg = RenderConfig(width=W, height=H, no_history=True, soft_shadows=0.05)
+    target = jnp.full((H, W, 3), 0.3, jnp.float32)
+    lval, (d_scene, _) = lk.loss_and_grad(
+        SCENE, CAM, FRAME, cfg, target=target, interpret=True
+    )
+
+    def loss_jnp(scene):
+        out = fk.frame_forward_jnp(scene, CAM, FRAME, cfg)
+        img = lk._composite_planes(
+            tuple(out["alb"][..., c] for c in range(3)),
+            tuple(out["ene"][..., c] for c in range(2)),
+            tuple(out["add_d"][..., c] for c in range(3)),
+            tuple(out["add_s"][..., c] for c in range(3)),
+            cfg.brightness,
+        )
+        acc = jnp.float32(0.0)
+        for c in range(3):
+            acc = acc + jnp.sum((img[c] - target[..., c]) ** 2)
+        return acc / float(H * W * 3)
+
+    v_ref = loss_jnp(SCENE)
+    np.testing.assert_allclose(float(lval), float(v_ref), rtol=1e-5)
+    g_ref = jax.grad(loss_jnp, allow_int=True)(SCENE)
+    for name in ("planes", "spheres", "light_color"):
+        a = np.asarray(getattr(g_ref, name))
+        b = np.asarray(getattr(d_scene, name))
+        np.testing.assert_allclose(
+            b, a, atol=1e-4 * (np.abs(a).max() + 1e-6), err_msg=name
+        )
 
 
 def test_path_kernel_pallas_call():
