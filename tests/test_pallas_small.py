@@ -6,7 +6,10 @@ BlockSpec/operand-order/grid regression (round 2's failure class) is
 caught by `pytest` without `-m slow`. Sizes are chosen so the whole file
 stays under ~2 min on the 2-core CI box; the heavyweight interpret tests
 (backward kernel, full-frame parity at larger sizes, multihost) remain in
-`-m slow` (~40 min total, documented in pyproject.toml).
+`-m slow` (~50 min total, documented in pyproject.toml). One exception in
+this file: test_loss_kernel_pallas_call is slow-marked (its interpret-mode
+vjp costs minutes; the loss math has fast coverage in
+tests/test_loss_kernel.py).
 """
 
 import numpy as np
@@ -88,6 +91,122 @@ def test_reproject_kernel_pallas_call():
     np.testing.assert_allclose(
         np.asarray(cnt_k), np.asarray(cnt_x), atol=1e-4
     )
+
+
+def _frame_hist_oracle(scene, cam, prev_cam, hist_d, hist_s, frame, cfg):
+    """The unfused temporal chain the fused kernel replaced: frame_block
+    (jnp twin) + exact XLA reprojection gather + floor + velocity clamp +
+    accumulate — the components ops/frame_hist.py fused (reference:
+    common.glsl:661-694, diffuse.frag:45-51, specular.frag:45-49).
+
+    The count floor mirrors the kernel's documented epsilon
+    (ops/frame_hist.py `floor(cnt + 1e-4)`): both sides compute integer
+    counts up to float association, so the eps only de-flakes the shared
+    knife edge — it does not paper over halo or liveness bugs."""
+    from kylespathtracer_tpu.core import gmath
+    from kylespathtracer_tpu.render.passes import _temporal_clamp
+
+    out = fk.frame_forward_jnp(scene, cam, frame, cfg)
+    rd = ray_dirs(cam, cfg.width, cfg.height, cfg.fov)
+    hl = cam.loc + rd * out["depth"][..., None]
+    light_dist = gmath.length(hl - scene.light[:3])
+    fac = gmath.EPS / jnp.sqrt(jnp.maximum(gmath.EPS, out["curv"]))
+    sl = hl + rd * (light_dist * fac)[..., None]
+    vv = gmath.length(cam.loc - prev_cam.loc)
+    oid = out["oid"]
+
+    def one(ch, anchor, add):
+        rgb, cnt = rep_mod.reproject(
+            prev_cam.loc, prev_cam.orient, anchor, oid,
+            ch.rgb, ch.cnt, ch.oid, cfg.fov,
+        )
+        cnt = jnp.floor(cnt + 1e-4)
+        rgb, cnt = _temporal_clamp(rgb, cnt, vv, cfg)
+        return rgb + add, cnt + 1.0
+
+    d_rgb, d_cnt = one(hist_d, hl, out["add_d"])
+    s_rgb, s_cnt = one(hist_s, sl, out["add_s"])
+    return {
+        "d_rgb": d_rgb, "d_cnt": d_cnt, "s_rgb": s_rgb, "s_cnt": s_cnt,
+        "alb": out["alb"], "ene": out["ene"], "oid": oid,
+        "_anchor_d": hl,
+    }
+
+
+def test_frame_hist_kernel_pallas_call():
+    """The production fused temporal kernel (ops/frame_hist.py — the thing
+    the headline frame time measures) with a POPULATED history and a ~1.5 px
+    camera pan, against the unfused chain it replaced. 6 row blocks of 8:
+    the pan makes taps cross the block halo (o=±1 shifted-BlockSpec reads),
+    the camera translation activates the velocity clamp, and border pixels
+    exercise the negative-bilinear-weight taps (the `!= 0` liveness masks,
+    ops/frame_hist.py:133-139). Catches halo-BlockSpec, liveness-bound, and
+    floor-epsilon regressions in the default gate."""
+    from kylespathtracer_tpu.ops import frame_hist as fh
+    from kylespathtracer_tpu.render.reproject import reproject_query
+
+    W, H = 128, 32
+    cfg = RenderConfig(width=W, height=H, reproject_window=2)
+    prev_cam = CAM
+    # ~1.5 px up + ~0.5 px sideways (Δpx ≈ 0.5·H·fov·θ at this size), plus a
+    # small translation so vv > 0 and the velocity clamp engages. Chosen so
+    # every live tap stays inside the K=2 window (the coverage asserts below
+    # verify this — beyond-window taps drop history by design and would make
+    # the exact-gather oracle diverge for the wrong reason).
+    cam = CAM.replace(
+        orient=CAM.orient + jnp.asarray([-0.03, 0.004], jnp.float32),
+        loc=CAM.loc + jnp.asarray([0.001, -0.0015, 0.001], jnp.float32),
+    )
+
+    # History populated from the PREVIOUS camera's geometry so the tap
+    # ID-match test passes/fails exactly like a real accumulated frame.
+    prev_oid = fk.frame_forward_jnp(SCENE, prev_cam, FRAME, cfg)["oid"]
+    rng = np.random.default_rng(7)
+
+    def channel(seed):
+        r = np.random.default_rng(seed)
+        return Channel(
+            rgb=jnp.asarray(r.uniform(0.0, 2.0, (H, W, 3)), jnp.float32),
+            cnt=jnp.asarray(r.integers(0, 17, (H, W)).astype(np.float32)),
+            oid=prev_oid,
+        )
+
+    hist_d, hist_s = channel(1), channel(2)
+
+    out = fh.frame_hist_pallas(
+        SCENE, cam, prev_cam, hist_d, hist_s, FRAME, cfg,
+        block_rows=8, interpret=True,
+    )
+    ref = _frame_hist_oracle(SCENE, cam, prev_cam, hist_d, hist_s, FRAME, cfg)
+
+    # The pan must actually cross row-block boundaries (halo reads) and
+    # produce negative bilinear fractions somewhere — otherwise this test
+    # would silently stop covering the halo BlockSpecs — and every live tap
+    # must stay inside the K window or the oracle diverges by design.
+    iuv, duv, inside = reproject_query(
+        prev_cam.loc, prev_cam.orient, ref["_anchor_d"], cfg.fov, (H, W)
+    )
+    py = np.arange(H)[:, None] + np.zeros((H, W), np.int64)
+    px = np.arange(W)[None, :] + np.zeros((H, W), np.int64)
+    iv, iu = np.asarray(iuv[..., 1]), np.asarray(iuv[..., 0])
+    live = np.asarray(inside) & (iv >= -1) & (iv < H) & (iu >= -1) & (iu < W)
+    dy, dx = (iv - py)[live], (iu - px)[live]
+    K = cfg.reproject_window
+    assert dy.min() >= -K and dy.max() <= K - 1, "taps beyond K; fix the pan"
+    assert dx.min() >= -K and dx.max() <= K - 1, "taps beyond K; fix the pan"
+    crosses = (iv // 8 != py // 8) & live
+    assert crosses.any(), "pan no longer crosses a block halo; fix the test"
+    assert (np.asarray(duv)[live] < 0).any(), "no negative bilinear fractions"
+
+    # rgb tolerance: the kernel accumulates per-(o,l) select terms, the
+    # oracle nested-mixes 4 taps — same sum, different association (~1e-4
+    # on history values up to ~2 x count 16).
+    for k in ("d_rgb", "d_cnt", "s_rgb", "s_cnt", "alb", "ene"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), atol=2e-4, rtol=1e-5,
+            err_msg=k,
+        )
+    assert (np.asarray(out["oid"]) == np.asarray(ref["oid"])).all()
 
 
 @pytest.mark.slow
