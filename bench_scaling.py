@@ -155,19 +155,89 @@ def main():
 
     # --- fused-pipeline flop model (round-4 verdict item) ---
     # XLA's cost_analysis cannot see inside a pallas_call, so the production
-    # fused frame is modeled through its jnp twin (frame_forward_jnp — the
-    # SAME block math the kernel runs, as analyzable XLA ops). The sharded
-    # fused frame splits rows exactly like the pass path, and its halo/
-    # parallel overhead fraction is the same row-halo geometry, so the
-    # per-device fused flops are F1_fused/N x (1 + overhead); the collective
-    # bytes are unchanged (the halo moves the same Channel planes).
+    # fused frame is modeled through a jnp twin built from the SAME math the
+    # kernel runs, as analyzable XLA ops. Round-5 fix: the twin is the FULL
+    # temporal frame (ops/frame_hist.py) — frame_forward_jnp (shade) PLUS
+    # the (2K+1)² windowed-select reprojection, count floor, velocity clamp,
+    # accumulate and composite — not just the shade core, which understated
+    # the modeled per-frame work by the ~25% reprojection share. The twin's
+    # select loop is the kernel's eager (no liveness-skip) form, so the
+    # modeled flops UPPER-bound the kernel's actual work; the efficiency
+    # ratio uses the same twin on both sides and is insensitive to that.
+    # The sharded fused frame splits rows exactly like the pass path, and
+    # its halo/parallel overhead fraction is the same row-halo geometry, so
+    # the per-device fused flops are F1_fused/N x (1 + overhead); the
+    # collective bytes are unchanged (the halo moves the same Channel
+    # planes).
+    from kylespathtracer_tpu.core import gmath
     from kylespathtracer_tpu.ops import frame_kernel as fk
+    from kylespathtracer_tpu.ops import reproject_kernel as rk
+    from kylespathtracer_tpu.render import composite as comp_mod
+    from kylespathtracer_tpu.render.camera import ray_dirs
+    from kylespathtracer_tpu.render.passes import Channel, _temporal_clamp
 
+    K = mconfig.reproject_window
+
+    def _window_select_jnp(planes, ho, dyrel, dxrel, w4):
+        """Full-image jnp twin of the kernel's bounded-window select
+        (ops/frame_hist._set_kernel_dyn without the liveness skips)."""
+        wy0, wy1, wx0, wx1 = w4
+        acc = [jnp.zeros_like(wy0) for _ in range(4)]
+        for l in range(-K, K + 1):
+            rolled = [jnp.roll(p, -l, axis=1) for p in planes]
+            X = (
+                jnp.where(dxrel == l, wx0, 0.0)
+                + jnp.where(dxrel == l - 1, wx1, 0.0)
+            )
+            for o in range(-K, K + 1):
+                rows = [jnp.roll(p, -o, axis=0) for p in rolled]
+                Y = (
+                    jnp.where(dyrel == o, wy0, 0.0)
+                    + jnp.where(dyrel == o - 1, wy1, 0.0)
+                )
+                coeff = jnp.where(rows[4] == ho, Y * X, 0.0)
+                for c in range(4):
+                    acc[c] = acc[c] + coeff * rows[c]
+        return acc
+
+    def fused_temporal_twin(scene, cam, prev_cam, hist_d, hist_s, frame):
+        out = fk.frame_forward_jnp(scene, cam, frame, mconfig)
+        rd = ray_dirs(cam, MW, MH, mconfig.fov)
+        hl = cam.loc + rd * out["depth"][..., None]
+        light_dist = gmath.length(hl - scene.light[:3])
+        fac = gmath.EPS / jnp.sqrt(jnp.maximum(gmath.EPS, out["curv"]))
+        sl = hl + rd * (light_dist * fac)[..., None]
+        vv = gmath.length(cam.loc - prev_cam.loc)
+        oid = out["oid"]
+
+        def one(ch, anchor, add):
+            dyrel, dxrel, w4 = rk._queries(
+                prev_cam, anchor, oid, mconfig.fov, MH, MW
+            )
+            planes = [
+                ch.rgb[..., 0], ch.rgb[..., 1], ch.rgb[..., 2], ch.cnt,
+                ch.oid.astype(jnp.float32),
+            ]
+            acc = _window_select_jnp(planes, oid.astype(jnp.float32),
+                                     dyrel, dxrel, w4)
+            cnt = jnp.floor(acc[3] + 1e-4)
+            rgb, cnt = _temporal_clamp(
+                jnp.stack(acc[0:3], axis=-1), cnt, vv, mconfig
+            )
+            return Channel(rgb=rgb + add, cnt=cnt + 1.0, oid=oid)
+
+        d = one(hist_d, hl, out["add_d"])
+        s = one(hist_s, sl, out["add_s"])
+        return comp_mod.composite_from(out["alb"], out["ene"], d, s, mconfig)
+
+    mhist0 = init_history(mconfig, cams[0])
     mfn_fused = jax.jit(
-        lambda s, c, f: fk.frame_forward_jnp(s, c, f, mconfig)
+        lambda s, c, f: fused_temporal_twin(
+            s, c, cams[0], mhist0.diffuse, mhist0.specular, f
+        )
     )
     f1_fused = _flops(
-        mfn_fused.lower(scene, cams[0], jnp.asarray(0, jnp.int32)).compile()
+        mfn_fused.lower(scene, cams[1], jnp.asarray(1, jnp.int32)).compile()
     )
     overhead = fn_dev * n / mf1 - 1.0
     fdev_fused = f1_fused / n * (1.0 + overhead)
@@ -228,7 +298,11 @@ def main():
         "value": round(min(eff_fused, 100.0), 1),
         "n_devices": n,
         "methodology": "hlo-cost-model",
-        "modeled_pipeline": "fused (frame_forward_jnp twin); pass-path model retained below",
+        "modeled_pipeline": (
+            "fused FULL temporal frame (frame_forward_jnp + windowed-select "
+            "reprojection + clamp + accumulate + composite twin of "
+            "ops/frame_hist.py); pass-path model retained below"
+        ),
         "correctness_allclose": correct,
         "correctness_resolution": f"{W}x{H}",
         "flops_1dev_total": f1_fused,

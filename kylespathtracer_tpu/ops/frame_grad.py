@@ -57,14 +57,15 @@ def _frame_bwd_kernel(
     soft_beta, smp, decorrelate, biased, present,
 ):
     n_present = sum(present)
-    in_refs = refs[:20]
-    g_refs = refs[20:20 + n_present]
-    out_refs = refs[20 + n_present:]
+    in_refs = refs[:21]
+    g_refs = refs[21:21 + n_present]
+    out_refs = refs[21 + n_present:]
     i = pl.program_id(0)
     j = pl.program_id(1)
 
     vals = [r[:] for r in in_refs]
     frame = vals[19][0, 0]
+    row_base = vals[20][0, 0]
     diff_in = tuple(vals[k] for k in DIFF_IDX)
 
     def f(diff_vals):
@@ -73,7 +74,7 @@ def _frame_bwd_kernel(
             v[k] = dv
         sc = dict(zip(fk.SC_KEYS, v[:17]))
         outs = fk.frame_block(
-            sc, v[17], v[18], frame, i * block_rows,
+            sc, v[17], v[18], frame, row_base + i * block_rows,
             counts=counts, nK=nK, gloss=gloss, width=width, height=height,
             fov=fov, block_rows=block_rows, soft_beta=soft_beta,
             block_cols=block_cols, col0=j * block_cols, smp=smp,
@@ -113,9 +114,16 @@ def frame_backward_pallas(
     block_cols: int | None = None,
     interpret: bool = False,
     vmem_mb: int = 64,
+    row_base=0,
+    rows: int | None = None,
 ):
-    """Run the backward kernel → tuple of gradients in DIFF_IDX order."""
-    H, W = config.height, config.width
+    """Run the backward kernel → tuple of gradients in DIFF_IDX order.
+
+    `row_base`/`rows` restrict the cotangent planes (and the recompute
+    sweep) to image rows [row_base, row_base+rows) — the per-device tile of
+    the sharded trainer (parallel/shard.py). Per-tile gradients are partial
+    sums; the caller psums them over the mesh axis."""
+    H, W = (rows if rows is not None else config.height), config.width
     if block_cols is None:
         # Round-4 sweep at 1080p (post trace-diet, scan-slope): (8,1024)
         # 9.9 ms < (16,512) 10.5 < (8,1920 @100MB) 11.2 < (16,1024 @100MB)
@@ -148,7 +156,8 @@ def frame_backward_pallas(
 
     kernel = functools.partial(
         _frame_bwd_kernel,
-        counts=counts, nK=nK, gloss=config.gloss, width=W, height=H,
+        counts=counts, nK=nK, gloss=config.gloss, width=W,
+        height=config.height,  # full-image NDC/seed mapping, even for tiles
         fov=config.fov, block_rows=block_rows, block_cols=block_cols,
         soft_beta=float(config.soft_shadows), smp=fk.smp_of(config),
         decorrelate=bool(config.decorrelate_samples),
@@ -180,7 +189,7 @@ def frame_backward_pallas(
     return pl.pallas_call(
         kernel,
         grid=(Hp // block_rows, Wp // block_cols),
-        in_specs=[small() for _ in range(20)] + [img() for _ in g_planes],
+        in_specs=[small() for _ in range(21)] + [img() for _ in g_planes],
         out_specs=out_specs,
         out_shape=out_shape,
         # The transposed block jaxpr keeps forward residuals live through
@@ -189,7 +198,7 @@ def frame_backward_pallas(
             vmem_limit_bytes=vmem_mb * 1024 * 1024
         ),
         interpret=interpret,
-    )(*ops, *g_planes)
+    )(*ops, jnp.asarray(row_base, jnp.int32).reshape(1, 1), *g_planes)
 
 
 def assemble_grads(scene, camera, grads, light_index: int):
@@ -225,23 +234,30 @@ def assemble_grads(scene, camera, grads, light_index: int):
 
 
 @functools.lru_cache(maxsize=64)
-def _make_diff_fn(config: RenderConfig, light_index: int, interpret: bool):
+def _make_diff_fn(config: RenderConfig, light_index: int, interpret: bool,
+                  rows: int | None = None):
     @jax.custom_vjp
-    def fwd(scene, camera, frame):
+    def fwd(scene, camera, frame, row_base):
         return fk.frame_forward_pallas(
-            scene, camera, frame, config, interpret=interpret
+            scene, camera, frame, config, interpret=interpret,
+            row_base=row_base, rows=rows,
         )
 
-    def fwd_fwd(scene, camera, frame):
+    def fwd_fwd(scene, camera, frame, row_base):
         # symbolic_zeros=True wraps every input leaf in CustomVJPPrimal.
         unwrap = lambda t: jax.tree_util.tree_map(lambda p: p.value, t)
-        scene, camera, frame = unwrap(scene), unwrap(camera), unwrap(frame)
-        return fwd(scene, camera, frame), (scene, camera, frame)
+        scene, camera, frame, row_base = (
+            unwrap(scene), unwrap(camera), unwrap(frame), unwrap(row_base)
+        )
+        return (
+            fwd(scene, camera, frame, row_base),
+            (scene, camera, frame, row_base),
+        )
 
     def fwd_bwd(res, g):
         from jax.custom_derivatives import SymbolicZero
 
-        scene, camera, frame = res
+        scene, camera, frame, row_base = res
         # Output planes the loss provably never touched arrive as
         # SymbolicZero: map them to None so frame_backward_pallas drops
         # their backward chains statically (e.g. depth/curv in image-only
@@ -251,10 +267,11 @@ def _make_diff_fn(config: RenderConfig, light_index: int, interpret: bool):
             for k, v in g.items()
         }
         grads = frame_backward_pallas(
-            scene, camera, frame, g, config, interpret=interpret
+            scene, camera, frame, g, config, interpret=interpret,
+            row_base=row_base, rows=rows,
         )
         d_scene, d_camera = assemble_grads(scene, camera, grads, light_index)
-        return d_scene, d_camera, _f0(frame)
+        return d_scene, d_camera, _f0(frame), _f0(row_base)
 
     fwd.defvjp(fwd_fwd, fwd_bwd, symbolic_zeros=True)
     return fwd
@@ -266,9 +283,16 @@ def frame_forward(
     frame,
     config: RenderConfig,
     interpret: bool = False,
+    row_base=0,
+    rows: int | None = None,
 ):
     """Differentiable fused forward: identical outputs (and cost) to
     `frame_kernel.frame_forward_pallas`, with the recompute backward above.
+    `row_base`/`rows` select the per-device row tile of the sharded trainer
+    (parallel/shard.py); row_base may be traced (axis_index·rows), rows is
+    static. Tile gradients are partial sums over the tile's pixels.
     """
-    fn = _make_diff_fn(config, int(scene.light_index), bool(interpret))
-    return fn(scene, camera, frame)
+    fn = _make_diff_fn(
+        config, int(scene.light_index), bool(interpret), rows
+    )
+    return fn(scene, camera, frame, jnp.asarray(row_base, jnp.int32))

@@ -197,14 +197,16 @@ def _frame_hist_kernel(
     counts, nK, gloss, width, height, fov, block_rows, soft_beta, smp,
     decorrelate, biased, K, temporal,
 ):
-    in_refs = refs[:52]
-    out_refs = refs[52:66]
-    acc_refs = refs[66:70]
+    in_refs = refs[:53]
+    out_refs = refs[53:67]
+    acc_refs = refs[67:71]
     sc = dict(zip(fk.SC_KEYS, in_refs[:17]))
-    cam_ref, orient_ref, frame_ref, prev_loc, prev_orient = in_refs[17:22]
-    hist_refs = in_refs[22:52]  # (below,cur,above) x 5 planes x 2 sets
+    cam_ref, orient_ref, frame_ref, prev_loc, prev_orient, row_base = (
+        in_refs[17:23]
+    )
+    hist_refs = in_refs[23:53]  # (below,cur,above) x 5 planes x 2 sets
     i = pl.program_id(0)
-    row0 = i * block_rows
+    row0 = row_base[0, 0] + i * block_rows
     shape = (block_rows, width)
 
     outs = fk.frame_block(
@@ -285,14 +287,32 @@ def frame_hist_pallas(
     config: RenderConfig,
     block_rows: int | None = None,
     interpret: bool = False,
+    row_base=0,
+    rows: int | None = None,
+    hist_halo: int = 0,
 ):
     """One fused temporal frame → (d_rgb, d_cnt, s_rgb, s_cnt, alb, ene,
-    oid), all full-frame arrays (rgb/alb stacked [...,3], ene [...,2])."""
+    oid), rgb/alb stacked [...,3], ene [...,2].
+
+    Full-frame by default. `row_base`/`rows`/`hist_halo` select TILE mode —
+    the per-device row block of the sharded renderer (parallel/shard.py):
+    the kernel renders image rows [row_base, row_base+rows) (row_base may be
+    traced, e.g. axis_index*rows), and the history channels are a row
+    WINDOW of shape (rows + 2*hist_halo, W) whose first row is global image
+    row row_base - hist_halo — exactly what the ppermute halo exchange
+    produces. Both `rows` and `hist_halo` must be multiples of block_rows
+    so the shifted halo BlockSpecs stay block-aligned, and hist_halo must
+    be >= the reprojection window K (taps never reach further than K rows
+    by construction, so the one-block halo suffices)."""
     H, W = config.height, config.width
+    tile = rows is not None
+    R = rows if tile else H
     if block_rows is None:
         # Multiple of 8 (sublane tiling): 65536//(1280*4)=12 would violate
         # the Mosaic block-shape constraint at 720p.
         block_rows = max(8, min(32, (65536 // (W * 4)) & ~7))
+        if tile:
+            block_rows = min(block_rows, R)
     if config.reproject_window > block_rows:
         import warnings
 
@@ -303,9 +323,27 @@ def frame_hist_pallas(
             stacklevel=2,
         )
     K = min(config.reproject_window, block_rows)
-    nb = -(-H // block_rows)
-    Hp = nb * block_rows
-    pad = Hp - H
+    if tile:
+        if R % block_rows or hist_halo % block_rows:
+            raise ValueError(
+                f"tile mode needs rows ({R}) and hist_halo ({hist_halo}) "
+                f"divisible by block_rows ({block_rows})"
+            )
+        if hist_halo and hist_halo < K:
+            raise ValueError(
+                f"hist_halo ({hist_halo}) < reprojection window K ({K}): "
+                "taps would silently drop history inside the window"
+            )
+        nb = R // block_rows
+        hb = hist_halo // block_rows
+        pad = 0
+    else:
+        nb = -(-H // block_rows)
+        hb = 0
+        pad = nb * block_rows - H
+    # Number of blocks in each history plane (what the shifted index maps
+    # clamp against): padded full frame, or tile + halos.
+    wb = nb + 2 * hb
 
     def pad_rows(a):
         if pad == 0:
@@ -333,12 +371,19 @@ def frame_hist_pallas(
     img = lambda: pl.BlockSpec(
         (block_rows, W), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    # History maps are offset by the halo blocks (hb=0 full frame): grid
+    # block i's "cur" history block covers the same global rows as its
+    # output block; edge clamps only bind in full-frame mode, where
+    # out-of-image taps carry zero weight anyway.
+    cur = lambda: pl.BlockSpec(
+        (block_rows, W), lambda i: (i + hb, 0), memory_space=pltpu.VMEM
+    )
     below = lambda: pl.BlockSpec(
-        (block_rows, W), lambda i: (jnp.maximum(i - 1, 0), 0),
+        (block_rows, W), lambda i: (jnp.maximum(i + hb - 1, 0), 0),
         memory_space=pltpu.VMEM,
     )
     above = lambda: pl.BlockSpec(
-        (block_rows, W), lambda i: (jnp.minimum(i + 1, nb - 1), 0),
+        (block_rows, W), lambda i: (jnp.minimum(i + hb + 1, wb - 1), 0),
         memory_space=pltpu.VMEM,
     )
 
@@ -352,17 +397,18 @@ def frame_hist_pallas(
     hist_d = hist_planes(history_d)
     hist_s = hist_planes(history_s)
     hist_specs = (
-        [below() for _ in range(5)] + [img() for _ in range(5)]
+        [below() for _ in range(5)] + [cur() for _ in range(5)]
         + [above() for _ in range(5)]
     )
 
-    f32 = jax.ShapeDtypeStruct((Hp, W), jnp.float32)
-    i32 = jax.ShapeDtypeStruct((Hp, W), jnp.int32)
+    Rp = nb * block_rows
+    f32 = jax.ShapeDtypeStruct((Rp, W), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((Rp, W), jnp.int32)
 
     outs = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[small() for _ in range(22)] + hist_specs + hist_specs,
+        in_specs=[small() for _ in range(23)] + hist_specs + hist_specs,
         out_specs=[img() for _ in range(14)],
         out_shape=[f32] * 13 + [i32],
         scratch_shapes=[
@@ -375,10 +421,11 @@ def frame_hist_pallas(
     )(
         *fk.small_operands(scene, camera, frame),
         prev_camera.loc.reshape(1, 3), prev_camera.orient.reshape(1, 2),
+        jnp.asarray(row_base, jnp.int32).reshape(1, 1),
         *hist_d, *hist_d, *hist_d,
         *hist_s, *hist_s, *hist_s,
     )
-    crop = lambda a: a[:H]
+    crop = lambda a: a[:R]
     return {
         "d_rgb": jnp.stack([crop(o) for o in outs[0:3]], axis=-1),
         "d_cnt": crop(outs[3]),

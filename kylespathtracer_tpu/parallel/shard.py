@@ -95,7 +95,7 @@ def render_frame_tiled(scene, camera, history, frame, config, mesh,
         # shift the NDC window by the device index.
         img, new_hist = _render_row_block(
             scene, camera, prev_window, frame, config, idx * rows_per,
-            rows_per, buffer_row0=idx * rows_per - halo,
+            rows_per, buffer_row0=idx * rows_per - halo, halo=halo,
         )
         return img, new_hist
 
@@ -134,10 +134,13 @@ def render_frame_tiled(scene, camera, history, frame, config, mesh,
 
 
 def _render_row_block(scene, camera, full_prev_hist, frame, config, row0, rows,
-                      buffer_row0=0):
+                      buffer_row0=0, halo=0):
     """Render rows [row0, row0+rows) against a previous-history row window
     whose first buffer row is global image row `buffer_row0` (a full-height
     buffer when 0, a tile+halo window from the ppermute exchange otherwise).
+    `halo` is the static halo row count of that window (buffer_row0 is the
+    traced row offset; the fused temporal kernel below needs the halo as a
+    Python int for its BlockSpecs).
     """
     from kylespathtracer_tpu.core import gmath, sampler
     from kylespathtracer_tpu.render import composite as comp_mod
@@ -155,17 +158,66 @@ def _render_row_block(scene, camera, full_prev_hist, frame, config, row0, rows,
 
     fused = config.pipeline == "fused"
     if fused:
-        # Production multi-chip path: the fused Pallas frame kernel runs on
-        # this device's rows (row_base offsets the in-kernel pixel grid so
-        # NDC/seeds match the full image bitwise); only the reprojection
-        # gather below reads the halo'd history window.
         import jax as _jax
 
         from kylespathtracer_tpu.ops import frame_kernel as fk
 
-        out = fk.frame_forward_pallas(
+        interpret = _jax.default_backend() != "tpu"
+
+        if not config.no_history and config.reproject_backend == "window":
+            # Production multi-chip path: the SAME fully fused temporal
+            # kernel the single-chip headline measures (ops/frame_hist.py)
+            # runs on this device's row tile. The ppermute halo window is
+            # exactly the ±1-block history its shifted BlockSpecs read, so
+            # shade + windowed reprojection + clamp + accumulate all happen
+            # in one kernel per tile — no exact XLA gather, no extra
+            # launches. Needs block-aligned tiles; misaligned shapes fall
+            # back to the per-tile frame kernel + exact gather below.
+            from kylespathtracer_tpu.ops import frame_hist as fh
+
+            bh = 8
+            aligned = (halo == bh and rows % bh == 0) or (
+                halo == 0 and rows == config.height
+            )
+            if aligned:
+                if halo == 0:
+                    o = fh.frame_hist_pallas(
+                        scene, camera, full_prev_hist.camera,
+                        full_prev_hist.diffuse, full_prev_hist.specular,
+                        frame, config, interpret=interpret,
+                    )
+                else:
+                    o = fh.frame_hist_pallas(
+                        scene, camera, full_prev_hist.camera,
+                        full_prev_hist.diffuse, full_prev_hist.specular,
+                        frame, config, block_rows=bh, interpret=interpret,
+                        row_base=row0, rows=rows, hist_halo=halo,
+                    )
+                d = Channel(rgb=o["d_rgb"], cnt=o["d_cnt"], oid=o["oid"])
+                s = Channel(rgb=o["s_rgb"], cnt=o["s_cnt"], oid=o["oid"])
+                image = comp_mod.composite_from(o["alb"], o["ene"], d, s, config)
+                return image, History(diffuse=d, specular=s, camera=camera)
+            import warnings
+
+            warnings.warn(
+                f"fused tiled path needs rows ({rows}) divisible by "
+                f"{bh} and halo == {bh} (got {halo}); falling back to the "
+                "per-tile frame kernel + exact reprojection gather",
+                stacklevel=2,
+            )
+
+        # Per-tile frame kernel (row_base offsets the in-kernel pixel grid
+        # so NDC/seeds match the full image bitwise); the reprojection
+        # gather below reads the halo'd history window. The custom-VJP
+        # wrapper makes this tile differentiable — train_step_tiled's
+        # per-tile value_and_grad routes through the recompute backward
+        # kernel, and the psum over the mesh axis sums the tile-partial
+        # scene gradients.
+        from kylespathtracer_tpu.ops import frame_grad as fg
+
+        out = fg.frame_forward(
             scene, camera, frame, config,
-            interpret=_jax.default_backend() != "tpu",
+            interpret=interpret,
             row_base=row0, rows=rows,
         )
         oid = out["oid"]

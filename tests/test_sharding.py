@@ -124,15 +124,17 @@ def test_shard_map_train_step():
 
 @pytest.mark.slow
 def test_tiled_fused_matches_unsharded():
-    """The production multi-chip path — the fused Pallas kernel running on
-    each device's row tile (frame_forward_pallas row_base/rows) behind the
+    """The production multi-chip path — the fully fused temporal kernel
+    (ops/frame_hist.py) running on each device's 8-row tile behind the
     ppermute history halo — reproduces the unsharded fused frame over a
     moving 2-frame sequence. (Slow: interpret-mode pallas on the CPU mesh.)
-    Measured on TPU: row-window tiles are bitwise the matching rows of the
-    full-frame kernel."""
+    The warning filter turns the exact-gather fallback into a failure: this
+    test must witness the frame_hist tile path, not the fallback."""
+    import warnings
+
     from kylespathtracer_tpu.parallel import shard as shard_mod
 
-    cfg = RenderConfig(width=64, height=32, pipeline="fused")
+    cfg = RenderConfig(width=64, height=64, pipeline="fused")
     mesh = mesh_mod.make_mesh(8)
     cams = [
         Camera.create(loc=(3.0, 2.0, -3.0), orient=(0.0, 0.7)),
@@ -148,11 +150,13 @@ def test_tiled_fused_matches_unsharded():
 
     hist = init_history(cfg, cams[0])
     img_t = None
-    for i, cam in enumerate(cams):
-        img_t, hist = shard_mod.render_frame_tiled(
-            default_scene(), cam, hist, jnp.asarray(i, jnp.int32),
-            cfg, mesh,
-        )
+    with warnings.catch_warnings():
+        warnings.filterwarnings("error", message="fused tiled path")
+        for i, cam in enumerate(cams):
+            img_t, hist = shard_mod.render_frame_tiled(
+                default_scene(), cam, hist, jnp.asarray(i, jnp.int32),
+                cfg, mesh,
+            )
     np.testing.assert_allclose(
         np.asarray(img_t), np.asarray(img_ref), atol=1e-5
     )
