@@ -316,31 +316,95 @@ def config3():
 # ---------------------------------------------------------------- config 4
 
 def config4():
-    from kylespathtracer_tpu.render.camera import camera_pose_spline
+    from kylespathtracer_tpu.ops import frame_kernel as fk
+    from kylespathtracer_tpu.render.camera import camera_pose_spline, ray_dirs
 
     W, H = 1920, 1080
     scene = default_scene()
     frames = 8
 
-    def animated(pipe):
+    def animated(pipe, keep_cnt=False):
         cfg = RenderConfig(width=W, height=H, pipeline=pipe)
         cam0 = Camera.create()
         hist = init_history(cfg, Camera.create())
         fn = jax.jit(render_frame, static_argnames=("config",))
         img = None
+        cams, cnts = [], []
         for i in range(frames):
             loc, ori = camera_pose_spline(jnp.float32(i) * 0.05)
             cam = cam0.replace(loc=loc, orient=ori)
+            cams.append(cam)
             img, hist = fn(scene, cam, hist, jnp.asarray(i, jnp.int32), cfg)
+            if keep_cnt:
+                cnts.append((
+                    np.asarray(hist.diffuse.cnt), np.asarray(hist.specular.cnt)
+                ))
         _sync((img, hist))
-        return img, hist
+        return img, hist, cams, cnts
 
-    img_f, hist_f = animated("fused")
-    img_p, hist_p = animated("pass")
+    img_f, hist_f, cams, _ = animated("fused")
+    img_p, hist_p, _, cnts = animated("pass", keep_cnt=True)
     diff = _img_diff(img_f, img_p)
     cnt_mean = float(jnp.mean(hist_f.diffuse.cnt))
     # Accumulation must actually build history under the slow pan.
     accum_ok = 2.0 < cnt_mean <= 16.0
+
+    # --- Classify the differing pixels (round-4 verdict item 6). The claim
+    # "decision-boundary flips" is demonstrated, not asserted: every
+    # >3e-2 pixel must lie on the union of
+    #   (a) geometric decision boundaries — object-ID edges and material
+    #       checker-cell edges (4³ cells on the box, unit cells on floor/
+    #       ceiling; common.glsl:244,250), where a half-ulp intersection
+    #       difference flips the shaded object or checker color, and
+    #   (b) history-state gradients — pixels whose accumulated sample count
+    #       differs from a 4-neighbor in ANY frame, where the bilinear
+    #       history reconstruction sits on a knife edge (taps with unequal
+    #       counts + projection fractions near a texel center: the fused
+    #       kernel's component-form projection and XLA's vector form can
+    #       land on opposite sides at the ~1e-7 level),
+    # dilated by 2 px for reprojection drift of flips carried through the
+    # history. INTERIOR pixels (uniform object, uniform checker cell,
+    # uniform history state all 8 frames) must agree essentially exactly.
+    d_img = np.abs(np.asarray(img_f) - np.asarray(img_p))
+    flagged = (d_img > 3e-2).any(axis=-1)
+    gcfg = RenderConfig(width=W, height=H)
+    mask = np.zeros((H, W), bool)
+    for i, cam in enumerate(cams):
+        g = fk.geometry_pass_pallas(scene, cam, jnp.asarray(i, jnp.int32), gcfg)
+        oid = np.asarray(g["oid"])
+        depth = np.asarray(g["depth"])
+        rd = np.asarray(ray_dirs(cam, W, H, gcfg.fov))
+        hl = np.asarray(cam.loc) + rd * depth[..., None]
+        cell = np.zeros((H, W, 3), np.int64)
+        boxm = oid == 4
+        flr = (oid == 2) | (oid == 7)
+        cell[boxm] = np.floor(4 * hl[boxm]).astype(np.int64)
+        cell[flr] = np.floor(hl[flr]).astype(np.int64)
+        for ax, s in ((0, 1), (0, -1), (1, 1), (1, -1)):
+            mask |= np.roll(oid, s, axis=ax) != oid
+            mask |= (np.roll(cell, s, axis=ax) != cell).any(axis=-1)
+    for cd, cs in cnts:
+        for ax, s in ((0, 1), (0, -1), (1, 1), (1, -1)):
+            mask |= np.roll(cd, s, axis=ax) != cd
+            mask |= np.roll(cs, s, axis=ax) != cs
+    for _ in range(2):  # dilate by 2 px
+        mask = (
+            mask | np.roll(mask, 1, 0) | np.roll(mask, -1, 0)
+            | np.roll(mask, 1, 1) | np.roll(mask, -1, 1)
+        )
+    interior = ~mask
+    on_mask = float((flagged & mask).sum() / max(flagged.sum(), 1))
+    interior_bad = float((d_img[interior] > 1e-3).mean())
+    boundary = {
+        "flagged_px_frac": float(flagged.mean()),
+        "mask_frac": float(mask.mean()),
+        "flagged_on_mask_frac": on_mask,
+        "interior_frac_gt_1e-3": interior_bad,
+        "interior_max_abs": float(d_img[interior].max()),
+    }
+    # Measured r05 on v5e: frac_gt_3e-2 0.18%, on_mask 99.9%, interior
+    # frac>1e-3 2.7e-5. Bounds sit ~3x above the measurements.
+    boundary_ok = on_mask >= 0.95 and interior_bad < 1e-4
 
     cfg = RenderConfig(width=W, height=H, pipeline="fused")
     hist = init_history(cfg, Camera.create())
@@ -353,11 +417,15 @@ def config4():
         return img[0, 0, 0] + h.diffuse.cnt[0, 0]
 
     ms = _scan_ms(step, ks=(2, 8, 14))
-    ok = diff["finite"] and diff["frac_gt_3e-2"] < 0.02 and accum_ok
+    ok = (
+        diff["finite"] and diff["frac_gt_3e-2"] < 0.005 and accum_ok
+        and boundary_ok
+    )
     return {
         "name": "temporal-1080p",
-        "spec": "animated camera (reference pose spline), diffuse+specular temporal accumulation, 1080p, fused vs pass after 8 frames",
+        "spec": "animated camera (reference pose spline), diffuse+specular temporal accumulation, 1080p, fused vs pass after 8 frames; differing pixels classified as decision-boundary flips",
         "passed": bool(ok), "diff": diff,
+        "boundary_classification": boundary,
         "history_cnt_mean": round(cnt_mean, 2), "accum_ok": bool(accum_ok),
         "frame_ms": round(ms, 2),
         "rays_per_s": round(W * H / (ms * 1e-3), 1),

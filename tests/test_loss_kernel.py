@@ -60,13 +60,11 @@ def test_composite_planes_matches_composite_from():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
 
-def test_block_loss_grads_match_pipeline():
-    """Gradients of the kernel's block loss (frame_block + in-kernel
-    composite + MSE, evaluated as plain jnp) match the XLA pipeline's
-    value_and_grad of the same loss."""
+def _loss_parity_case(cfg):
+    """Block-loss (frame_block + in-kernel composite + MSE as plain jnp)
+    vs the XLA pipeline's value_and_grad of the same loss, for `cfg`."""
     scene = default_scene()
     cam = Camera.create(loc=LOC, orient=ORI)
-    cfg = RenderConfig(width=W, height=H, no_history=True, soft_shadows=0.05)
     target = jnp.full((H, W, 3), 0.3, jnp.float32)
 
     def loss_block(scene):
@@ -100,3 +98,24 @@ def test_block_loss_grads_match_pipeline():
         b = np.asarray(getattr(g_b, name))
         scale = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b, a, atol=2e-3 * scale, err_msg=name)
+
+
+def test_block_loss_grads_match_pipeline():
+    _loss_parity_case(
+        RenderConfig(width=W, height=H, no_history=True, soft_shadows=0.05)
+    )
+
+
+def test_block_loss_grads_production_inverse_config():
+    """soft_shadows>0 AND smp>1 combined — the configuration the production
+    inverse fit actually runs (diff/inverse.py uses a soft-shadow beta
+    schedule; multi-sample steps share its kernel). Round-4 verdict item 5:
+    the parity suite previously never combined the two knobs."""
+    _loss_parity_case(
+        RenderConfig(
+            width=W, height=H, no_history=True, soft_shadows=0.05,
+            smp_direct_lambert=2, smp_lambert_surface_lambert=2,
+            smp_lambert_surface_phong=2, smp_direct_phong=2,
+            smp_phong_surface_lambert=2, smp_phong_surface_phong=2,
+        )
+    )
