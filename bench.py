@@ -57,8 +57,20 @@ from kylespathtracer_tpu import (
 BASELINE_RAYS_PER_S = 55.3e6  # 1280*720*60
 
 
+_FULL_LOG = None  # opened in main(); bench_* helpers still work standalone
+
+
 def stderr_json(**kw):
-    print(json.dumps(kw), file=sys.stderr, flush=True)
+    """One metric line → stderr (driver tail) AND the full JSONL artifact.
+
+    The driver's BENCH_r{N}.json records only the stderr TAIL, which
+    truncated the round-4 headline lines off the top; BENCH_full_r{N}.jsonl
+    is the self-contained primary record (round-4 verdict item 8)."""
+    line = json.dumps(kw)
+    print(line, file=sys.stderr, flush=True)
+    if _FULL_LOG is not None:
+        _FULL_LOG.write(line + "\n")
+        _FULL_LOG.flush()
 
 
 def _sync(tree) -> float:
@@ -431,6 +443,12 @@ def bench_scaling():
 
 
 def main():
+    global _FULL_LOG
+    _FULL_LOG = open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_full_r05.jsonl"),
+        "w",
+    )
     scene = default_scene()
     camera = Camera.create(loc=(3.0, 2.0, -3.0), orient=(0.0, 0.7))
     rtt = _roundtrip_s()
@@ -443,16 +461,17 @@ def main():
     bench_wavefront(scene, camera, rtt)
     bench_scaling()
 
-    print(
-        json.dumps(
-            {
-                "metric": "primary_rays_per_s_fwd_1080p",
-                "value": round(rays_per_s, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
-            }
-        )
+    headline = json.dumps(
+        {
+            "metric": "primary_rays_per_s_fwd_1080p",
+            "value": round(rays_per_s, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+        }
     )
+    print(headline)
+    _FULL_LOG.write(headline + "\n")
+    _FULL_LOG.close()
 
 
 if __name__ == "__main__":

@@ -51,9 +51,11 @@ from kylespathtracer_tpu.parallel.shard import render_frame_tiled
 
 W, H, FRAMES = 256, 128, 3
 
-# TPU v5e-flavoured constants for the comm->flops conversion (stated, not
-# load-bearing: comm is <<1% of compute here).
-R_FLOPS = 7.0e12      # per-chip vector f32 throughput, FLOP/s
+# Constants for the comm->flops conversion (stated, not load-bearing:
+# comm is <<1% of compute here). R_FLOPS is the MEASURED sustained vector
+# op/s for this workload's op mix on the attached v5e (bench_ceiling.py,
+# CEILING_r05.json), replacing round 4's asserted 7e12.
+R_FLOPS = 4.0e12      # per-chip vector f32 throughput for this op mix
 B_ICI = 9.0e10        # per-link ICI bandwidth, B/s
 
 _COLLECTIVES = re.compile(

@@ -29,8 +29,19 @@ def _config_from(args):
         kw["intersect_mode"] = "march"
     if getattr(args, "unbiased", False):
         kw["biased"] = False
+    # Pipeline selection mirrors diff/inverse.py: the fused Pallas frame is
+    # the TPU fast path and the default there; elsewhere (CPU interpret
+    # mode is far slower than XLA) the pass pipeline is. --pipeline
+    # pass/fused overrides; --fused is the legacy spelling of
+    # --pipeline fused.
+    choice = getattr(args, "pipeline", "auto")
     if getattr(args, "fused", False):
-        kw["pipeline"] = "fused"
+        choice = "fused"
+    if choice == "auto":
+        import jax
+
+        choice = "fused" if jax.default_backend() == "tpu" else "pass"
+    kw["pipeline"] = choice
     return RenderConfig(**kw)
 
 
@@ -151,8 +162,11 @@ def main(argv=None):
                    help="continue from the newest checkpoint in --checkpoint-dir")
     p.add_argument("--preview", action="store_true",
                    help="live ANSI preview in the terminal")
+    p.add_argument("--pipeline", choices=("auto", "pass", "fused"),
+                   default="auto",
+                   help="frame pipeline (auto: fused on TPU, pass elsewhere)")
     p.add_argument("--fused", action="store_true",
-                   help="fused Pallas frame pipeline (TPU fast path)")
+                   help="alias for --pipeline fused")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("pathtrace", help="multi-bounce wavefront render")
@@ -185,8 +199,11 @@ def main(argv=None):
     p.add_argument("--fps", type=float, default=20.0)
     p.add_argument("--cols", type=int, default=100, help="preview width in cells")
     p.add_argument("--rows", type=int, default=48, help="preview height in cells")
+    p.add_argument("--pipeline", choices=("auto", "pass", "fused"),
+                   default="auto",
+                   help="frame pipeline (auto: fused on TPU, pass elsewhere)")
     p.add_argument("--fused", action="store_true",
-                   help="fused Pallas frame pipeline (TPU fast path)")
+                   help="alias for --pipeline fused")
     p.set_defaults(fn=cmd_fly)
 
     p = sub.add_parser("info", help="backend / device / native-lib status")

@@ -114,82 +114,9 @@ def _temporal_clamp_block(rgb, cnt, vv, temporal):
     return [c * scale for c in rgb], jnp.where(over, limit, cnt)
 
 
-def _set_kernel_dyn(planes15, ho, dyrel, dxrel, w4, bh, K, acc_refs):
-    """ops/reproject_kernel._set_kernel accumulating into scratch refs, with
-    runtime column/row skips: an (o, l) offset term only contributes where
-    some pixel's tap window lands there, and under realistic motion (the
-    velocity clamp caps useful motion at ~1 px/frame anyway) only ~2 of the
-    (2K+1) offsets per axis are live. `pl.when` on a per-block any() guard
-    skips the dead ones — bitwise identical (a zero-X/zero-Y term adds
-    exactly zero) at ~2/(2K+1)² of the select work. Row windows are
-    assembled lazily from the (below, cur, above) block refs *inside* the
-    live branches, so the dead offsets cost no VMEM copies either."""
-    wy0, wy1, wx0, wx1 = w4
-
-    # Liveness bounds: the per-axis offset range actually touched by any
-    # nonzero tap weight, as FOUR masked min/max scalar reductions — far
-    # cheaper than materializing all (2K+1) offset masks and any()-reducing
-    # each (which itself cost ~1 ms/frame at 1080p). A weight-zero offset
-    # inside the range enters its branch and adds exactly zero (bitwise
-    # identical); huge off-screen dyrel/dxrel values carry zero weights, so
-    # they never widen the range. Masks use != 0, not > 0: border pixels
-    # whose trunc-based bilinear fraction is negative carry NEGATIVE tap
-    # weights (fu=-0.3 -> wx0=1.3, wx1=-0.3), and dropping those taps
-    # overcounted border history by up to ~60% under a pan.
-    big = jnp.int32(1 << 30)
-
-    def _bounds(rel, w0, w1):
-        lo = jnp.minimum(
-            jnp.min(jnp.where(w0 != 0.0, rel, big)),
-            jnp.min(jnp.where(w1 != 0.0, rel + 1, big)),
-        )
-        hi = jnp.maximum(
-            jnp.max(jnp.where(w0 != 0.0, rel, -big)),
-            jnp.max(jnp.where(w1 != 0.0, rel + 1, -big)),
-        )
-        return lo, hi
-
-    ylo, yhi = _bounds(dyrel, wy0, wy1)
-    xlo, xhi = _bounds(dxrel, wx0, wx1)
-
-    W = dyrel.shape[1]
-    for l in range(-K, K + 1):
-        @pl.when((l >= xlo) & (l <= xhi))
-        def _(l=l):
-            X = (
-                jnp.where(dxrel == l, wx0, 0.0)
-                + jnp.where(dxrel == l - 1, wx1, 0.0)
-            )
-            shift = (-l) % W
-            for o in range(-K, K + 1):
-                @pl.when((o >= ylo) & (o <= yhi))
-                def _(o=o, X=X, shift=shift):
-                    Y = (
-                        jnp.where(dyrel == o, wy0, 0.0)
-                        + jnp.where(dyrel == o - 1, wy1, 0.0)
-                    )
-                    rows = []
-                    for k in range(5):
-                        below = planes15[k]
-                        cur = planes15[5 + k]
-                        above = planes15[10 + k]
-                        # Image rows [row0+o, row0+bh+o) of the plane.
-                        if o == 0:
-                            r_ = cur[:]
-                        elif o < 0:
-                            r_ = jnp.concatenate(
-                                [below[bh + o:bh], cur[0:bh + o]], axis=0
-                            )
-                        else:
-                            r_ = jnp.concatenate(
-                                [cur[o:bh], above[0:o]], axis=0
-                            )
-                        if shift:
-                            r_ = pltpu.roll(r_, shift, axis=1)
-                        rows.append(r_)
-                    coeff = jnp.where(rows[4] == ho, Y * X, 0.0)
-                    for c in range(4):
-                        acc_refs[c][:] = acc_refs[c][:] + coeff * rows[c]
+# The liveness-skipping bounded-window select lives in
+# ops/reproject_kernel (shared with the standalone reprojection kernel).
+from kylespathtracer_tpu.ops.reproject_kernel import _set_kernel_dyn
 
 
 def _frame_hist_kernel(

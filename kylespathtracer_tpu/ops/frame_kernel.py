@@ -238,7 +238,7 @@ def frame_block(
 def _frame_kernel(
     *refs,
     counts, nK, gloss, width, height, fov, block_rows, soft_beta, smp,
-    decorrelate, biased,
+    decorrelate, biased, block_cols=None,
 ):
     in_refs, out_refs = refs[:21], refs[21:]
     # Refs go into frame_block directly: scalar reads like planes_ref[i, k]
@@ -248,12 +248,14 @@ def _frame_kernel(
     sc = dict(zip(SC_KEYS, in_refs[:17]))
     cam_ref, orient_ref, frame_ref, row0_ref = in_refs[17:]
     i = pl.program_id(0)
+    col0 = 0 if block_cols is None else pl.program_id(1) * block_cols
     outs = frame_block(
         sc, cam_ref, orient_ref, frame_ref[0, 0],
         row0_ref[0, 0] + i * block_rows,
         counts=counts, nK=nK, gloss=gloss, width=width, height=height,
         fov=fov, block_rows=block_rows, soft_beta=soft_beta, smp=smp,
         decorrelate=decorrelate, biased=biased,
+        block_cols=block_cols, col0=col0,
     )
     for ref, val in zip(out_refs, outs):
         ref[:] = val
@@ -296,6 +298,7 @@ def frame_forward_pallas(
     interpret: bool = False,
     row_base: int = 0,
     rows: int | None = None,
+    block_cols: int | None = None,
 ):
     """Run the fused forward kernel → dict of full-frame planes.
 
@@ -307,6 +310,15 @@ def frame_forward_pallas(
     (parallel/shard.py). The NDC mapping, seeds, and ray grid stay those of
     the FULL config.height image, so the tiles are bitwise the matching
     rows of the unsharded frame.
+
+    `block_cols` splits the grid along columns too ((block_rows,
+    block_cols) blocks like the backward kernel). Swept round 5 at 1080p
+    (scan-slope): (8,640) 4.16 ms < (8,512) 4.41 < (8,1024) 4.61 <
+    full-width (8,1920) 4.89 < (8,256) 4.90 — narrower blocks ease vector-
+    register pressure in the shade core until grid overhead wins below
+    ~384; non-divisors of W (768/896) lose to padding waste. Default None
+    auto-selects 640 when it divides W (else full width); pass
+    block_cols=config.width to force full-width blocks.
     """
     H, W = (rows if rows is not None else config.height), config.width
     if block_rows is None:
@@ -315,7 +327,13 @@ def frame_forward_pallas(
         # Multiple of 8 (sublane tiling): 65536//(1280*4)=12 would violate
         # the Mosaic block-shape constraint at 720p.
         block_rows = max(8, min(32, (65536 // (W * 4)) & ~7))
+    if block_cols is None and W % 640 == 0 and W > 640:
+        block_cols = 640
+    if block_cols == W:
+        block_cols = None  # full width uses the cheaper 1-D grid
     Hp = -(-H // block_rows) * block_rows
+    bc = W if block_cols is None else block_cols
+    Wp = -(-W // bc) * bc
 
     counts = (
         int(scene.planes.shape[0]),
@@ -337,19 +355,27 @@ def frame_forward_pallas(
         smp=smp_of(config),
         decorrelate=bool(config.decorrelate_samples),
         biased=bool(config.biased),
+        block_cols=block_cols,
     )
 
     small = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    img = lambda: pl.BlockSpec(
-        (block_rows, W), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
+    if block_cols is None:
+        grid = (Hp // block_rows,)
+        img = lambda: pl.BlockSpec(
+            (block_rows, W), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        grid = (Hp // block_rows, Wp // bc)
+        img = lambda: pl.BlockSpec(
+            (block_rows, bc), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        )
 
-    f32 = jax.ShapeDtypeStruct((Hp, W), jnp.float32)
-    i32 = jax.ShapeDtypeStruct((Hp, W), jnp.int32)
+    f32 = jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)
 
     outs = pl.pallas_call(
         kernel,
-        grid=(Hp // block_rows,),
+        grid=grid,
         in_specs=[small() for _ in range(21)],
         out_specs=[img() for _ in range(14)],
         out_shape=[f32] * 13 + [i32],
@@ -363,6 +389,8 @@ def frame_forward_pallas(
         *small_operands(scene, camera, frame),
         jnp.asarray(row_base, jnp.int32).reshape(1, 1),
     )
+    if Wp != W:
+        outs = [o[:, :W] for o in outs]
     return assemble_planes(outs, H)
 
 

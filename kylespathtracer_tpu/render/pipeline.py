@@ -97,20 +97,57 @@ def render_frame_fused(
     interpret = _jax.default_backend() != "tpu"
 
     if not config.no_history and config.reproject_backend == "window":
-        # The fully fused temporal frame: shade + windowed reprojection +
-        # velocity clamp + accumulate in ONE kernel (ops/frame_hist.py) —
-        # no separate reprojection launches, no XLA tail beyond composite.
-        # Forward-only, like the window reprojection it absorbs (the
-        # differentiable path is no_history below).
-        from kylespathtracer_tpu.ops import frame_hist as fh
+        if config.temporal_fusion == "mono":
+            # Everything in one kernel (ops/frame_hist.py): shade +
+            # windowed reprojection + velocity clamp + accumulate, no
+            # separate launches. Measured r05: the split below is ~20%
+            # faster (see utils/config.temporal_fusion); kept as the
+            # single-launch option. Forward-only, like the window
+            # reprojection it absorbs (the differentiable path is
+            # no_history below).
+            from kylespathtracer_tpu.ops import frame_hist as fh
 
-        o = fh.frame_hist_pallas(
-            scene, camera, history.camera, history.diffuse, history.specular,
-            frame, config, interpret=interpret,
+            o = fh.frame_hist_pallas(
+                scene, camera, history.camera,
+                history.diffuse, history.specular,
+                frame, config, interpret=interpret,
+            )
+            d = Channel(rgb=o["d_rgb"], cnt=o["d_cnt"], oid=o["oid"])
+            s = Channel(rgb=o["s_rgb"], cnt=o["s_cnt"], oid=o["oid"])
+            image = comp_mod.composite_from(o["alb"], o["ene"], d, s, config)
+            return image, History(diffuse=d, specular=s, camera=camera)
+
+        # temporal_fusion == "split" (default, fastest measured): the shade
+        # kernel on narrow column blocks + ONE windowed-reprojection launch
+        # per channel set (ops/reproject_kernel.py) + the XLA clamp/
+        # accumulate tail (which fuses into the composite). Forward-only.
+        from kylespathtracer_tpu.ops import frame_kernel as fk
+        from kylespathtracer_tpu.ops import reproject_kernel as rk
+
+        out = fk.frame_forward_pallas(
+            scene, camera, frame, config, interpret=interpret
         )
-        d = Channel(rgb=o["d_rgb"], cnt=o["d_cnt"], oid=o["oid"])
-        s = Channel(rgb=o["s_rgb"], cnt=o["s_cnt"], oid=o["oid"])
-        image = comp_mod.composite_from(o["alb"], o["ene"], d, s, config)
+        rd = cam_mod.ray_dirs(camera, config.width, config.height, config.fov)
+        hl = camera.loc + rd * out["depth"][..., None]
+        light_dist = gmath.length(hl - scene.light[:3])
+        fac = gmath.EPS / jnp.sqrt(jnp.maximum(gmath.EPS, out["curv"]))
+        sl = hl + rd * (light_dist * fac)[..., None]
+        vv = gmath.length(camera.loc - history.camera.loc)
+        (rgb_d, cnt_d), (rgb_s, cnt_s) = rk.reproject_pallas(
+            history.camera, hl, sl, out["oid"],
+            history.diffuse, history.specular, config.fov,
+            window=config.reproject_window, block_rows=8,
+            interpret=interpret,
+        )
+
+        def accum(rgb, cnt, add):
+            cnt = _count_floor(cnt)
+            rgb, cnt = _temporal_clamp(rgb, cnt, vv, config)
+            return Channel(rgb=rgb + add, cnt=cnt + 1.0, oid=out["oid"])
+
+        d = accum(rgb_d, cnt_d, out["add_d"])
+        s = accum(rgb_s, cnt_s, out["add_s"])
+        image = comp_mod.composite_from(out["alb"], out["ene"], d, s, config)
         return image, History(diffuse=d, specular=s, camera=camera)
 
     out = fg.frame_forward(scene, camera, frame, config, interpret=interpret)

@@ -27,7 +27,11 @@ class RenderConfig:
     smp_phong_surface_lambert: int = 1
     smp_phong_surface_phong: int = 1
     smp_unbias: int = 4        # SMP_UNBIAS (unused by the reference)
-    bias_weight: float = 1.0   # BIAS_WEIGHT
+    # BIAS_WEIGHT — dead in the reference too: it is applied only inside
+    # `#ifndef BIASED` blocks that are compiled out (BIASED is defined,
+    # common.glsl:3-4) and diffuse.frag:27-31,69-72 never reaches it.
+    # Declared for knob parity; no code path reads it.
+    bias_weight: float = 1.0
     # Hash the per-sample streams (core/sampler.fold_seed) instead of the
     # reference's `seed + i` when SMP_* > 1. Off by default — and measured
     # WORSE when on: `seed + i` strides the Weyl lattice (QMC-style
@@ -74,6 +78,19 @@ class RenderConfig:
     # exactly like the velocity clamp already does (diffuse.frag:49-51).
     reproject_backend: str = "window"
     reproject_window: int = 4
+    # Temporal-frame kernel structure for the fused pipeline's window
+    # backend (both produce the same frame; both have sharded tile modes):
+    #   "split" — shade kernel on (8,640) column blocks + ONE windowed-
+    #             reprojection launch per channel set + XLA clamp/accumulate.
+    #             Measured r05 at 1080p: 5.8 ms/frame — the narrow shade
+    #             blocks run ~15% faster than full-width (better vector-
+    #             register allocation), and the standalone reprojection
+    #             kernel outruns the same math interleaved with the shade's
+    #             register pressure.
+    #   "mono"  — everything in one kernel (ops/frame_hist.py): 7.3 ms at
+    #             1080p. Fewer launches but the fusion loses more to
+    #             register pressure than it saves in HBM round trips.
+    temporal_fusion: str = "split"
     # Wavefront integrator backend:
     #   "auto"   — fused Pallas path kernel on TPU (ops/path_kernel.py),
     #              XLA elsewhere

@@ -209,18 +209,21 @@ def test_sharded_inverse_resume_trajectory():
 
 
 @pytest.mark.slow
-def test_tiled_fused_matches_unsharded():
-    """The production multi-chip path — the fully fused temporal kernel
-    (ops/frame_hist.py) running on each device's 8-row tile behind the
-    ppermute history halo — reproduces the unsharded fused frame over a
-    moving 2-frame sequence. (Slow: interpret-mode pallas on the CPU mesh.)
+@pytest.mark.parametrize("fusion", ["split", "mono"])
+def test_tiled_fused_matches_unsharded(fusion):
+    """The production multi-chip path — the fused temporal frame (split:
+    shade kernel + tile-mode windowed reprojection; mono: ops/frame_hist.py
+    in one kernel) running on each device's 8-row tile behind the ppermute
+    history halo — reproduces the unsharded fused frame over a moving
+    2-frame sequence. (Slow: interpret-mode pallas on the CPU mesh.)
     The warning filter turns the exact-gather fallback into a failure: this
-    test must witness the frame_hist tile path, not the fallback."""
+    test must witness the fused tile paths, not the fallback."""
     import warnings
 
     from kylespathtracer_tpu.parallel import shard as shard_mod
 
-    cfg = RenderConfig(width=64, height=64, pipeline="fused")
+    cfg = RenderConfig(width=64, height=64, pipeline="fused",
+                       temporal_fusion=fusion)
     mesh = mesh_mod.make_mesh(8)
     cams = [
         Camera.create(loc=(3.0, 2.0, -3.0), orient=(0.0, 0.7)),
