@@ -402,9 +402,15 @@ def config4():
         "interior_frac_gt_1e-3": interior_bad,
         "interior_max_abs": float(d_img[interior].max()),
     }
-    # Measured r05 on v5e: frac_gt_3e-2 0.18%, on_mask 99.9%, interior
-    # frac>1e-3 2.7e-5. Bounds sit ~3x above the measurements.
-    boundary_ok = on_mask >= 0.95 and interior_bad < 1e-4
+    # Measured r05 on v5e: with the split temporal pipeline (the default)
+    # fused-vs-pass agrees to ~1 flagged PIXEL per 2M (frac_gt_3e-2
+    # 3e-7); with temporal_fusion="mono" it was 0.18% flagged, 99.9% on
+    # the mask, interior frac>1e-3 2.7e-5. When almost nothing is flagged
+    # the on-mask ratio is a ratio of counting noise — skip it below 50
+    # flagged pixels and keep only the interior-agreement gate.
+    boundary_ok = interior_bad < 1e-4 and (
+        flagged.sum() < 50 or on_mask >= 0.95
+    )
 
     cfg = RenderConfig(width=W, height=H, pipeline="fused")
     hist = init_history(cfg, Camera.create())

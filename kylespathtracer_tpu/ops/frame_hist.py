@@ -1,12 +1,18 @@
 """Fully fused temporal frame: shade + reprojection + accumulate in ONE
-Pallas kernel.
+Pallas kernel (config.temporal_fusion="mono").
 
 Round 3 ran the fused frame as three device programs — the shade kernel
 (ops/frame_kernel.py), the windowed-reprojection kernel
 (ops/reproject_kernel.py, two launches), and an XLA tail (anchor math,
 floor, velocity clamp, accumulate) — paying ~3.5 ms of the 12.7 ms frame in
-reprojection launches and HBM round trips of 20+ full-resolution planes.
-This kernel computes the whole history-path frame in one pass per row
+reprojection launches and HBM round trips of 20+ full-resolution planes;
+round 4 fused everything into this kernel (7.7 ms). Round 5 found the
+pendulum's true center: with the shade kernel on (8,640) column blocks and
+the liveness-skipping select shared back into the standalone reprojection
+kernel, the SPLIT composition (render/pipeline.py temporal_fusion="split")
+runs 5.8 ms — the monolith's register pressure costs more than its saved
+launches — so this kernel is now the single-launch option rather than the
+default. It computes the whole history-path frame in one pass per row
 block:
 
     raygen → intersect → normals → dual-MIS shade        (frame_block)
