@@ -436,6 +436,9 @@ def bench_scaling():
         for line in out.stdout.splitlines():
             if line.startswith("{"):
                 print(line, file=sys.stderr, flush=True)
+                if _FULL_LOG is not None:  # the full JSONL record too
+                    _FULL_LOG.write(line + "\n")
+                    _FULL_LOG.flush()
         if out.returncode != 0:
             stderr_json(metric="scaling_error", tail=out.stderr[-200:])
     except Exception as e:  # pragma: no cover

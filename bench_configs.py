@@ -394,13 +394,19 @@ def config4():
         )
     interior = ~mask
     on_mask = float((flagged & mask).sum() / max(flagged.sum(), 1))
-    interior_bad = float((d_img[interior] > 1e-3).mean())
+    # interior can in principle be empty (mask covering every pixel);
+    # record that as vacuous agreement instead of crashing on empty .max().
+    interior_bad = (
+        float((d_img[interior] > 1e-3).mean()) if interior.any() else 0.0
+    )
     boundary = {
         "flagged_px_frac": float(flagged.mean()),
         "mask_frac": float(mask.mean()),
         "flagged_on_mask_frac": on_mask,
         "interior_frac_gt_1e-3": interior_bad,
-        "interior_max_abs": float(d_img[interior].max()),
+        "interior_max_abs": (
+            float(d_img[interior].max()) if interior.any() else 0.0
+        ),
     }
     # Measured r05 on v5e: with the split temporal pipeline (the default)
     # fused-vs-pass agrees to ~1 flagged PIXEL per 2M (frac_gt_3e-2

@@ -36,6 +36,11 @@ def _config_from(args):
     # --pipeline fused.
     choice = getattr(args, "pipeline", "auto")
     if getattr(args, "fused", False):
+        if choice == "pass":
+            raise SystemExit(
+                "error: --fused conflicts with --pipeline pass "
+                "(--fused is an alias for --pipeline fused)"
+            )
         choice = "fused"
     if choice == "auto":
         import jax

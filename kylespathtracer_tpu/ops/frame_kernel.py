@@ -327,6 +327,11 @@ def frame_forward_pallas(
         # Multiple of 8 (sublane tiling): 65536//(1280*4)=12 would violate
         # the Mosaic block-shape constraint at 720p.
         block_rows = max(8, min(32, (65536 // (W * 4)) & ~7))
+        if rows is not None:
+            # Tile mode: never shade more rows than the tile has (a
+            # 32-row default against an 8-row tile would compute 4x the
+            # tile's work and crop it).
+            block_rows = min(block_rows, max(8, rows & ~7))
     if block_cols is None and W % 640 == 0 and W > 640:
         block_cols = 640
     if block_cols == W:

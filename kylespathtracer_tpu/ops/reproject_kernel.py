@@ -226,9 +226,13 @@ def reproject_pallas(
                 f"tile mode needs rows ({rows}) and hist_halo ({hist_halo}) "
                 f"divisible by block_rows ({block_rows})"
             )
-        if hist_halo and hist_halo < K:
+        if hist_halo < K:
+            # hist_halo == 0 is the WORST case, not an exemption: the
+            # below/above BlockSpecs would clamp inside the tile and
+            # cross-tile taps would silently read the wrong history rows.
             raise ValueError(
-                f"hist_halo ({hist_halo}) < reprojection window K ({K})"
+                f"hist_halo ({hist_halo}) < reprojection window K ({K}): "
+                "cross-tile taps would silently read wrong history rows"
             )
         nb = rows // block_rows
         hb = hist_halo // block_rows

@@ -203,44 +203,20 @@ def _render_row_block(scene, camera, full_prev_hist, frame, config, row0, rows,
                 image = comp_mod.composite_from(o["alb"], o["ene"], d, s, config)
                 return image, History(diffuse=d, specular=s, camera=camera)
             if aligned:
-                # temporal_fusion == "split" (the default production path,
-                # identical composition to the single-chip pipeline):
-                # per-tile shade kernel + tile-mode windowed-reprojection
-                # kernel against the ppermute halo window + XLA tail.
-                from kylespathtracer_tpu.ops import reproject_kernel as rk
-
-                out = fk.frame_forward_pallas(
-                    scene, camera, frame, config, interpret=interpret,
-                    row_base=row0, rows=rows,
-                )
-                hl = camera.loc + rd * out["depth"][..., None]
-                light_dist = gmath.length(hl - scene.light[:3])
-                fac = gmath.EPS / jnp.sqrt(
-                    jnp.maximum(gmath.EPS, out["curv"])
-                )
-                sl = hl + rd * (light_dist * fac)[..., None]
-                vv = gmath.length(camera.loc - full_prev_hist.camera.loc)
-                (rgb_d, cnt_d), (rgb_s, cnt_s) = rk.reproject_pallas(
-                    full_prev_hist.camera, hl, sl, out["oid"],
-                    full_prev_hist.diffuse, full_prev_hist.specular,
-                    config.fov, window=config.reproject_window,
-                    block_rows=bh, interpret=interpret,
-                    image_height=H, row_base=row0, hist_halo=halo,
+                # temporal_fusion == "split" (the default production
+                # path): EXACTLY the single-chip composition — the shared
+                # pipeline.split_temporal_frame body runs per tile with
+                # the ppermute halo window, so the sharded renderer cannot
+                # drift from the benchmarked pipeline.
+                from kylespathtracer_tpu.render.pipeline import (
+                    split_temporal_frame,
                 )
 
-                def accum(rgb, cnt, add):
-                    cnt = _count_floor(cnt)
-                    rgb, cnt = _temporal_clamp(rgb, cnt, vv, config)
-                    return Channel(
-                        rgb=rgb + add, cnt=cnt + 1.0, oid=out["oid"]
-                    )
-
-                d = accum(rgb_d, cnt_d, out["add_d"])
-                s = accum(rgb_s, cnt_s, out["add_s"])
-                image = comp_mod.composite_from(
-                    out["alb"], out["ene"], d, s, config
+                return split_temporal_frame(
+                    scene, camera, full_prev_hist, frame, config,
+                    interpret, rd, row_base=row0, rows=rows,
+                    hist_halo=halo,
                 )
-                return image, History(diffuse=d, specular=s, camera=camera)
             import warnings
 
             warnings.warn(

@@ -121,34 +121,10 @@ def render_frame_fused(
         # kernel on narrow column blocks + ONE windowed-reprojection launch
         # per channel set (ops/reproject_kernel.py) + the XLA clamp/
         # accumulate tail (which fuses into the composite). Forward-only.
-        from kylespathtracer_tpu.ops import frame_kernel as fk
-        from kylespathtracer_tpu.ops import reproject_kernel as rk
-
-        out = fk.frame_forward_pallas(
-            scene, camera, frame, config, interpret=interpret
-        )
         rd = cam_mod.ray_dirs(camera, config.width, config.height, config.fov)
-        hl = camera.loc + rd * out["depth"][..., None]
-        light_dist = gmath.length(hl - scene.light[:3])
-        fac = gmath.EPS / jnp.sqrt(jnp.maximum(gmath.EPS, out["curv"]))
-        sl = hl + rd * (light_dist * fac)[..., None]
-        vv = gmath.length(camera.loc - history.camera.loc)
-        (rgb_d, cnt_d), (rgb_s, cnt_s) = rk.reproject_pallas(
-            history.camera, hl, sl, out["oid"],
-            history.diffuse, history.specular, config.fov,
-            window=config.reproject_window, block_rows=8,
-            interpret=interpret,
+        return split_temporal_frame(
+            scene, camera, history, frame, config, interpret, rd
         )
-
-        def accum(rgb, cnt, add):
-            cnt = _count_floor(cnt)
-            rgb, cnt = _temporal_clamp(rgb, cnt, vv, config)
-            return Channel(rgb=rgb + add, cnt=cnt + 1.0, oid=out["oid"])
-
-        d = accum(rgb_d, cnt_d, out["add_d"])
-        s = accum(rgb_s, cnt_s, out["add_s"])
-        image = comp_mod.composite_from(out["alb"], out["ene"], d, s, config)
-        return image, History(diffuse=d, specular=s, camera=camera)
 
     out = fg.frame_forward(scene, camera, frame, config, interpret=interpret)
     ho = out["oid"]
@@ -191,6 +167,66 @@ def render_frame_fused(
 
     d = Channel(rgb=rep_rgb_d + out["add_d"], cnt=rep_cnt_d + 1.0, oid=ho)
     s = Channel(rgb=rep_rgb_s + out["add_s"], cnt=rep_cnt_s + 1.0, oid=ho)
+    image = comp_mod.composite_from(out["alb"], out["ene"], d, s, config)
+    return image, History(diffuse=d, specular=s, camera=camera)
+
+
+def split_temporal_frame(
+    scene: Scene,
+    camera: Camera,
+    prev_hist: History,
+    frame,
+    config: RenderConfig,
+    interpret: bool,
+    rd,  # ray dirs for the rendered rows (full frame or tile window)
+    row_base=0,
+    rows: int | None = None,
+    hist_halo: int = 0,
+):
+    """The split temporal-frame composition (temporal_fusion="split"):
+    shade kernel + one windowed-reprojection launch per channel set + XLA
+    count-floor/velocity-clamp/accumulate + ACES composite.
+
+    ONE implementation for both the single-chip full frame (rows=None) and
+    the sharded per-device tile (parallel/shard.py passes row_base/rows/
+    hist_halo and a halo'd history window) — the knife-edge divergence
+    class this repo has already hit once (count_floor) comes from the same
+    math living in two places, so the tiled renderer and the benchmarked
+    pipeline share this body. Forward-only, like the reprojection kernel.
+    """
+    from kylespathtracer_tpu.core import gmath as _gmath
+    from kylespathtracer_tpu.ops import frame_kernel as fk
+    from kylespathtracer_tpu.ops import reproject_kernel as rk
+    from kylespathtracer_tpu.render.passes import (
+        _temporal_clamp,
+        count_floor,
+    )
+
+    tile = rows is not None
+    out = fk.frame_forward_pallas(
+        scene, camera, frame, config, interpret=interpret,
+        row_base=row_base, rows=rows,
+    )
+    hl = camera.loc + rd * out["depth"][..., None]
+    light_dist = _gmath.length(hl - scene.light[:3])
+    fac = _gmath.EPS / jnp.sqrt(jnp.maximum(_gmath.EPS, out["curv"]))
+    sl = hl + rd * (light_dist * fac)[..., None]
+    vv = _gmath.length(camera.loc - prev_hist.camera.loc)
+    (rgb_d, cnt_d), (rgb_s, cnt_s) = rk.reproject_pallas(
+        prev_hist.camera, hl, sl, out["oid"],
+        prev_hist.diffuse, prev_hist.specular, config.fov,
+        window=config.reproject_window, block_rows=8, interpret=interpret,
+        image_height=config.height if tile else None,
+        row_base=row_base, hist_halo=hist_halo,
+    )
+
+    def accum(rgb, cnt, add):
+        cnt = count_floor(cnt)
+        rgb, cnt = _temporal_clamp(rgb, cnt, vv, config)
+        return Channel(rgb=rgb + add, cnt=cnt + 1.0, oid=out["oid"])
+
+    d = accum(rgb_d, cnt_d, out["add_d"])
+    s = accum(rgb_s, cnt_s, out["add_s"])
     image = comp_mod.composite_from(out["alb"], out["ene"], d, s, config)
     return image, History(diffuse=d, specular=s, camera=camera)
 

