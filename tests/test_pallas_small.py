@@ -60,6 +60,76 @@ def test_frame_kernel_pallas_call():
     assert (np.asarray(out["oid"]) == np.asarray(ref["oid"])).all()
 
 
+def test_frame_kernel_column_blocks():
+    """The 2-D (block_rows, block_cols) grid of the forward kernel — the
+    production shape is (8,640) at widths 640 divides (auto-selected; it
+    runs ~15% faster than full-width rows on the v5e) — must match the
+    1-D full-width grid to float-association ulps (the per-pixel math is
+    identical; only the compiler's shape-dependent fma fusion differs).
+    Exercises the j-grid col0 offset and the column padding/crop at a
+    width block_cols does NOT divide."""
+    cfg = RenderConfig(width=192, height=16)
+    full = fk.frame_forward_pallas(SCENE, CAM, FRAME, cfg, block_rows=8,
+                                   block_cols=cfg.width, interpret=True)
+    split = fk.frame_forward_pallas(SCENE, CAM, FRAME, cfg, block_rows=8,
+                                    block_cols=128, interpret=True)
+    assert (np.asarray(full["oid"]) == np.asarray(split["oid"])).all()
+    for k in ("add_d", "add_s", "alb", "ene", "depth", "curv"):
+        np.testing.assert_allclose(
+            np.asarray(full[k]), np.asarray(split[k]), atol=2e-5, rtol=1e-5,
+            err_msg=k,
+        )
+
+
+def test_reproject_kernel_tile_mode():
+    """Tile mode of the windowed reprojection kernel (the sharded split
+    path, parallel/shard.py): two 16-row tiles, each with an 8-row halo
+    window cut from the full history, must reproduce the full-frame kernel
+    exactly — covers the hb-offset BlockSpecs, the global-row queries
+    (row0), and the zero edge halos."""
+    W, H = 128, 32
+    cfg = RenderConfig(width=W, height=H)
+    gb = fk.frame_forward_jnp(SCENE, CAM, FRAME, cfg)
+    rd = ray_dirs(CAM, W, H, cfg.fov)
+    hl = CAM.loc + rd * gb["depth"][..., None]
+    ho = gb["oid"]
+    rng = np.random.default_rng(3)
+    ch = Channel(
+        rgb=jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32),
+        cnt=jnp.asarray(rng.integers(1, 5, (H, W)).astype(np.float32)),
+        oid=ho,
+    )
+    prev = CAM.replace(
+        orient=CAM.orient + jnp.asarray([-0.02, 0.003], jnp.float32),
+    )
+    (rgb_f, cnt_f), _ = rk.reproject_pallas(
+        prev, hl, hl, ho, ch, ch, cfg.fov, window=4, block_rows=8,
+        interpret=True,
+    )
+
+    def window(c, r0, rows, halo):
+        def w(a):
+            ap = jnp.pad(a, ((halo, halo),) + ((0, 0),) * (a.ndim - 1))
+            return ap[r0:r0 + rows + 2 * halo]
+        return Channel(rgb=w(c.rgb), cnt=w(c.cnt), oid=w(c.oid))
+
+    parts = []
+    for r0 in (0, 16):
+        wch = window(ch, r0, 16, 8)
+        (rgb_t, cnt_t), _ = rk.reproject_pallas(
+            prev, hl[r0:r0 + 16], hl[r0:r0 + 16], ho[r0:r0 + 16],
+            wch, wch, cfg.fov, window=4, block_rows=8, interpret=True,
+            image_height=H, row_base=r0, hist_halo=8,
+        )
+        parts.append((np.asarray(rgb_t), np.asarray(cnt_t)))
+    np.testing.assert_array_equal(
+        np.concatenate([p[0] for p in parts], axis=0), np.asarray(rgb_f)
+    )
+    np.testing.assert_array_equal(
+        np.concatenate([p[1] for p in parts], axis=0), np.asarray(cnt_f)
+    )
+
+
 def test_reproject_kernel_pallas_call():
     """Windowed reprojection (2 row blocks + halo) == the exact XLA gather
     for sub-window camera motion on real hit geometry."""
