@@ -414,7 +414,7 @@ def assemble_planes(outs, H):
 
 
 def _geometry_kernel(
-    *refs, counts, width, height, fov, block_rows,
+    *refs, counts, width, height, fov, block_rows, block_cols=None,
 ):
     """Raygen + primary nearest-hit + analytic normal/curvature only — the
     reference's geometry pass (geometry.frag:36-72) as a standalone kernel.
@@ -422,11 +422,13 @@ def _geometry_kernel(
     in_refs, out_refs = refs[:20], refs[20:]
     sc = dict(zip(SC_KEYS, in_refs[:17]))
     cam_ref, orient_ref, _frame_ref = in_refs[17:]
-    shape = (block_rows, width)
+    bc = width if block_cols is None else block_cols
+    shape = (block_rows, bc)
     i = pl.program_id(0)
+    col0 = 0 if block_cols is None else pl.program_id(1) * block_cols
 
     px, py, ro, rd = _raygen(
-        shape, cam_ref, orient_ref, width, height, fov, i * block_rows
+        shape, cam_ref, orient_ref, width, height, fov, i * block_rows, col0
     )
     no_excl = jnp.full(shape, -1, jnp.int32)
     t, oid = sk._trace(sc, ro, rd, no_excl, *counts)
@@ -446,16 +448,26 @@ def geometry_pass_pallas(
     camera,
     frame,
     config: RenderConfig,
-    block_rows: int = 32,
+    block_rows: int = 16,
     interpret: bool = False,
+    block_cols: int | None = None,
 ):
     """Primary-visibility raycast → dict(depth, curv, normal, oid): the
     geometry pass alone, for the raw rays/s benchmark and G-buffer-only
-    uses. Device-resident scan-slope timing at 1080p (BENCH_r04, v5e):
-    0.88 ms = 2.35 Grays/s with block_rows=32 (the round-3 single-dispatch
-    figures were host-rtt-bound and unreliable below ~10 ms)."""
+    uses. Round-5 block sweep at 1080p (v5e, scan-slope): (16,640)
+    0.57 ms = 3.6 Grays/s < (32,640) 0.63 < (32,full) 0.86 — like the
+    shade kernel, column blocks beat full-width rows; 640 auto-selects
+    when it divides the width (pass block_cols=config.width to force
+    full-width). The round-3 single-dispatch figures were host-rtt-bound
+    and unreliable below ~10 ms."""
     H, W = config.height, config.width
+    if block_cols is None and W % 640 == 0 and W > 640:
+        block_cols = 640
+    if block_cols == W:
+        block_cols = None
     Hp = -(-H // block_rows) * block_rows
+    bc = W if block_cols is None else block_cols
+    Wp = -(-W // bc) * bc
     counts = (
         int(scene.planes.shape[0]),
         int(scene.spheres.shape[0]),
@@ -464,22 +476,31 @@ def geometry_pass_pallas(
     kernel = functools.partial(
         _geometry_kernel,
         counts=counts, width=W, height=H, fov=config.fov,
-        block_rows=block_rows,
+        block_rows=block_rows, block_cols=block_cols,
     )
     small = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    img = lambda: pl.BlockSpec(
-        (block_rows, W), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    f32 = jax.ShapeDtypeStruct((Hp, W), jnp.float32)
-    i32 = jax.ShapeDtypeStruct((Hp, W), jnp.int32)
+    if block_cols is None:
+        grid = (Hp // block_rows,)
+        img = lambda: pl.BlockSpec(
+            (block_rows, W), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        grid = (Hp // block_rows, Wp // bc)
+        img = lambda: pl.BlockSpec(
+            (block_rows, bc), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        )
+    f32 = jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)
     outs = pl.pallas_call(
         kernel,
-        grid=(Hp // block_rows,),
+        grid=grid,
         in_specs=[small() for _ in range(20)],
         out_specs=[img() for _ in range(6)],
         out_shape=[f32] * 5 + [i32],
         interpret=interpret,
     )(*small_operands(scene, camera, frame))
+    if Wp != W:
+        outs = [o[:, :W] for o in outs]
     crop = lambda a: a[:H]
     return {
         "depth": crop(outs[0]),
